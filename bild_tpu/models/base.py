@@ -1,0 +1,89 @@
+"""
+Model interface (reference parity: ``MultiStateModel`` ABC,
+``bild/models.py:24-160``).
+
+The one addition over the reference interface is `logL_batch`: inference on
+TPU evaluates likelihoods for a *batch* of profiles in one device call (the
+reference explicitly loops profiles one by one, ``bild/amis.py:734-739``).
+Models should override it with a vectorized implementation; the base version
+is a correct host-side fallback.
+"""
+from __future__ import annotations
+
+import abc
+
+import numpy as np
+
+from ..profiles import Loopingprofile
+
+__all__ = ["MultiStateModel"]
+
+
+class MultiStateModel(metaclass=abc.ABCMeta):
+    """
+    Abstract base class for inference models.
+
+    Required: `logL` (and ideally `logL_batch`), `nStates`, `d`,
+    ``transitions``. Recommended: `initial_loopingprofile`,
+    `trajectory_from_loopingprofile`.
+
+    ``transitions[i, j]`` says whether the switch ``i -> j`` is allowed;
+    `init_transitions` allows everything but self-transitions (reference
+    ``bild/models.py:49-50``).
+    """
+
+    def init_transitions(self, n: int):
+        self.transitions = ~np.eye(n, dtype=bool)
+
+    @property
+    def nStates(self) -> int:
+        return self.transitions.shape[0]
+
+    @property
+    def d(self) -> int:
+        raise NotImplementedError  # pragma: no cover
+
+    def initial_loopingprofile(self, traj) -> Loopingprofile:
+        """Default: a random profile (reference ``bild/models.py:66-80``)."""
+        return Loopingprofile(np.random.choice(self.nStates, size=len(traj)))
+
+    @abc.abstractmethod
+    def logL(self, loopingprofile, traj) -> float:
+        """Log-likelihood of a (profile, trajectory) pair."""
+        raise NotImplementedError  # pragma: no cover
+
+    def logL_batch(self, profiles, traj):
+        """
+        Log-likelihoods for a ``(P, T)`` int array of profiles.
+
+        Base fallback: host loop over `logL`. Override with a device-batched
+        implementation.
+        """
+        profiles = np.asarray(profiles)
+        return np.array([
+            self.logL(Loopingprofile(p), traj) for p in profiles
+        ])
+
+    # -- generative-path preprocessing (reference ``bild/models.py:99-160``)
+    def _preproc_localization_error(self, localization_error):
+        if np.isscalar(localization_error):
+            localization_error = self.d * [localization_error]
+        localization_error = np.asarray(localization_error, dtype=float)
+        if localization_error.shape != (self.d,):
+            raise ValueError("Did not understand localization_error")
+        return localization_error
+
+    def _preproc_missing_frames(self, missing_frames, T, rng=None):
+        """
+        Resolve the ``missing_frames`` argument: None/0 = none; float in
+        (0, 1) = per-frame drop probability; int = that many random frames;
+        array = explicit indices.
+        """
+        rng = np.random if rng is None else rng
+        if missing_frames is None or (np.isscalar(missing_frames) and missing_frames == 0):
+            return np.array([], dtype=int)
+        if np.isscalar(missing_frames):
+            if 0 < missing_frames < 1:
+                return np.nonzero(rng.rand(T) < missing_frames)[0]
+            return rng.choice(T, size=int(missing_frames), replace=False).astype(int)
+        return np.asarray(missing_frames, dtype=int)

@@ -1,0 +1,210 @@
+"""
+Multi-state Rouse model (reference parity: ``MultiStateRouse``,
+``bild/models.py:163-370``), built on the TPU-native physics
+(`bild_tpu.physics.RouseModel`) and batched Kalman kernel
+(`bild_tpu.ops.kalman`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import scipy.stats
+
+import jax
+import jax.numpy as jnp
+
+from ..config import fdtype, MATMUL_PRECISION
+from ..physics.rouse import RouseModel
+from ..profiles import Loopingprofile
+from ..trajectory import Trajectory
+from ..ops.kalman import msrouse_logL_batch
+from .base import MultiStateModel
+
+__all__ = ["MultiStateRouse"]
+
+
+class MultiStateRouse(MultiStateModel):
+    """
+    Switch between per-state Rouse dynamics along the trajectory.
+
+    Parameters (mirroring reference ``bild/models.py:222-249``)
+    ----------
+    N : int                 number of monomers
+    D, k : float            free-monomer diffusion constant, backbone spring
+    d : int                 spatial dimension
+    looppositions : sequence
+        one entry per state: ``None`` (no extra bond), a ``(left, right[,
+        rel_strength])`` tuple, or a list of such tuples. ``(i, i+1, -1)``
+        removes backbone bond ``i``.
+    measurement : "end2end" or (N,) array
+        measured linear combination of monomers; "end2end" = last - first.
+    localization_error : None, float, or (d,) array
+        model-side noise; if ``None``, use ``traj.localization_error``.
+    dt : float              frame interval
+    """
+
+    def __init__(self, N, D, k, d=3,
+                 looppositions=(None, (0, -1)),
+                 measurement="end2end",
+                 localization_error=None,
+                 dt=1.0):
+        self._d = d
+
+        if isinstance(measurement, str) and measurement == "end2end":
+            measurement = np.zeros(N)
+            measurement[0] = -1
+            measurement[-1] = 1
+        measurement = np.asarray(measurement, dtype=float)
+        assert len(measurement) == N
+        self.measurement = measurement
+
+        if localization_error is not None:
+            if np.isscalar(localization_error):
+                localization_error = localization_error * np.ones(d)
+            localization_error = np.asarray(localization_error, dtype=float)
+            if localization_error.shape != (d,):
+                raise ValueError(
+                    f"localization_error should be scalar or shape ({d},); "
+                    f"got shape {localization_error.shape}"
+                )
+        self.localization_error = localization_error
+
+        self.models = []
+        for loop in looppositions:
+            if loop is not None and np.isscalar(loop[0]):
+                loop = (tuple(loop),)
+            elif loop is not None:
+                loop = tuple(tuple(b) for b in loop)
+            self.models.append(RouseModel(N=N, D=D, k=k, d=d, dt=dt, add_bonds=loop))
+
+        self.init_transitions(len(self.models))
+
+        # stacked per-state dynamics, consumed by the batched kernel
+        dtype = fdtype()
+        self.Bs = jnp.stack([m.B for m in self.models])
+        self.Gs = jnp.stack([m.G for m in self.models])
+        self.Sigs = jnp.stack([m.Sig for m in self.models])
+        self.M0s = jnp.stack([m.M_ss for m in self.models])
+        self.C0s = jnp.stack([m.C_ss for m in self.models])
+        self.L_sigs = jnp.stack([m.L_sig for m in self.models])
+        self.w = jnp.asarray(measurement, dtype=dtype)
+
+    @property
+    def d(self):
+        return self._d
+
+    # -- noise handling (reference ``bild/models.py:255-263``) -------------
+    def _get_noise(self, traj) -> np.ndarray:
+        if self.localization_error is not None:
+            return np.asarray(self.localization_error)
+        if getattr(traj, "localization_error", None) is not None:
+            err = np.asarray(traj.localization_error)
+            if err.ndim == 0:
+                err = err * np.ones(self.d)
+            return err
+        raise ValueError(
+            "No localization error specified (use model.localization_error "
+            "or Trajectory.localization_error)"
+        )
+
+    def _noise_arrays(self, traj):
+        err = self._get_noise(traj)
+        unique, Cind = np.unique(err, return_inverse=True)
+        return (jnp.asarray(unique**2, dtype=fdtype()),
+                jnp.asarray(Cind.astype(np.int32)))
+
+    # -- likelihood --------------------------------------------------------
+    def logL(self, profile, traj) -> float:
+        """Rouse likelihood of one profile, via the batched Kalman kernel."""
+        return float(self.logL_batch(np.asarray(profile)[None, :], traj)[0])
+
+    def logL_batch(self, profiles, traj) -> jax.Array:
+        """
+        ``(P,)`` log-likelihoods for a ``(P, T)`` profile batch — the TPU hot
+        path (replaces the per-profile loop at reference ``bild/amis.py:734-739``).
+
+        States must lie in ``[0, nStates)``; out-of-range states yield NaN
+        (device code cannot raise).
+        """
+        s2, Cind = self._noise_arrays(traj)
+        profiles = jnp.asarray(profiles, dtype=jnp.int32)
+        return msrouse_logL_batch(
+            self.Bs, self.Gs, self.Sigs, self.M0s, self.C0s,
+            self.w, s2, Cind,
+            profiles, traj.data, traj.valid,
+        )
+
+    # -- convenience -------------------------------------------------------
+    def initial_loopingprofile(self, traj) -> Loopingprofile:
+        return self.toFactorized().initial_loopingprofile(traj)
+
+    def trajectory_from_loopingprofile(self, profile,
+                                       localization_error=None,
+                                       missing_frames=None,
+                                       key: Optional[jax.Array] = None) -> Trajectory:
+        """
+        Generative model (reference ``bild/models.py:295-350``): sample a
+        steady-state conformation for ``profile[0]``, evolve with the
+        state-selected dynamics (one ``lax.scan``), measure, add noise.
+
+        ``key`` is an explicit JAX PRNG key; if omitted, one is drawn from
+        numpy's global RNG (keeps reference-style implicit seeding usable).
+        """
+        if localization_error is None:
+            if self.localization_error is None:
+                raise ValueError("Need localization_error or model.localization_error")
+            localization_error = self.localization_error
+        localization_error = self._preproc_localization_error(localization_error)
+
+        profile = np.asarray(profile, dtype=int)
+        T = len(profile)
+        missing_frames = self._preproc_missing_frames(missing_frames, T)
+
+        if key is None:
+            key = jax.random.key(np.random.randint(2**31))
+        k0, k_scan, k_noise = jax.random.split(key, 3)
+
+        conf0 = self.models[profile[0]].conf_ss(k0)
+        states = jnp.asarray(profile[1:], dtype=jnp.int32)
+        etas = jax.random.normal(k_scan, (T - 1,) + conf0.shape, dtype=conf0.dtype)
+
+        Bs, Gs, L_sigs, w = self.Bs, self.Gs, self.L_sigs, self.w
+
+        def step(conf, x):
+            st, eta = x
+            conf = (jnp.matmul(Bs[st], conf, precision=MATMUL_PRECISION)
+                    + Gs[st]
+                    + jnp.matmul(L_sigs[st], eta, precision=MATMUL_PRECISION))
+            return conf, jnp.matmul(w, conf, precision=MATMUL_PRECISION)
+
+        _, meas = jax.lax.scan(step, conf0, (states, etas))
+        data = jnp.concatenate([jnp.matmul(w, conf0, precision=MATMUL_PRECISION)[None],
+                                meas], axis=0)  # (T, d)
+
+        noise = jax.random.normal(k_noise, data.shape, dtype=data.dtype)
+        data = np.array(data + jnp.asarray(localization_error)[None, :] * noise)
+        data[missing_frames, :] = np.nan
+
+        return Trajectory.create(data,
+                                 localization_error=localization_error,
+                                 loopingprofile=profile)
+
+    def toFactorized(self):
+        """
+        Time-scale-separated approximation: per-state Maxwell distributions
+        from the steady-state measurement variance (reference
+        ``bild/models.py:352-370``).
+        """
+        from .factorized import FactorizedModel
+
+        noise2_per_d = (
+            float(np.sum(self.localization_error**2)) / self.d
+            if self.localization_error is not None else 0.0
+        )
+        distributions = []
+        for mod in self.models:
+            _, C = mod.steady_state()
+            s2 = float(self.w @ C @ self.w) + noise2_per_d
+            distributions.append(scipy.stats.maxwell(scale=np.sqrt(s2)))
+        return FactorizedModel(distributions, d=self.d)

@@ -1,0 +1,27 @@
+"""
+Test harness config: run on a virtual 8-device CPU mesh with float64 enabled
+(CPU is the parity oracle; TPU-specific behavior is covered by bench/driver
+runs on real hardware).
+
+Must set env vars before jax is imported anywhere.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# NB: the JAX_PLATFORMS env var is overridden by the axon TPU plugin in this
+# environment; the config call is authoritative.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(685441950)
