@@ -1,0 +1,82 @@
+"""
+Benchmark: batched Rouse-Kalman likelihood throughput on the default device.
+
+Config matches the BASELINE.md headline workload: 2-state Rouse model at the
+reference scale (N=20 monomers), 3-d dual-color trajectory, T=100 frames,
+scored for a batch of P=1024 candidate profiles — the kernel that dominates
+every BILD inference (reference hot path: ``bild/src/MSRouse_logL.pyx``,
+called ~20k times per k-sampler).
+
+Baseline = the sequential float64 NumPy transcription of the reference
+algorithm (``bild_tpu/ops/oracle.py``) on one host CPU thread, i.e. the
+reference's own execution model (it explicitly rejects parallelism,
+``bild/amis.py:732-733``).
+
+Prints ONE JSON line:
+  {"metric": "logL_evals_per_sec", "value": ..., "unit": "profiles/s",
+   "vs_baseline": ...}
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bild_tpu.models import MultiStateRouse
+    from bild_tpu.ops.kalman import msrouse_logL_batch
+    from bild_tpu.ops.oracle import msrouse_logL_numpy
+    from bild_tpu.trajectory import Trajectory
+
+    P, T = 1024, 100
+    rng = np.random.default_rng(685441950)
+
+    model = MultiStateRouse(20, 1.0, 5.0, d=3, localization_error=0.1)
+    true_prof = ((np.arange(T) // 25) % 2).astype(int)
+    traj = model.trajectory_from_loopingprofile(true_prof, key=jax.random.key(0))
+
+    profiles = rng.integers(0, 2, size=(P, T)).astype(np.int32)
+
+    # --- device path -----------------------------------------------------
+    s2, Cind = model._noise_arrays(traj)
+    args = (model.Bs, model.Gs, model.Sigs, model.M0s, model.C0s,
+            model.w, s2, Cind, jnp.asarray(profiles), traj.data, traj.valid)
+
+    out = msrouse_logL_batch(*args)
+    out.block_until_ready()  # compile + warmup
+
+    n_rep = 20
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = msrouse_logL_batch(*args)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+    rate_device = P / dt
+
+    # --- baseline: sequential float64 oracle on host ---------------------
+    Bs, Gs, Sigs, M0s, C0s = (np.asarray(a) for a in
+                              (model.Bs, model.Gs, model.Sigs, model.M0s, model.C0s))
+    w = np.asarray(model.w)
+    err = model._get_noise(traj)
+    trajdata = traj[:]
+
+    n_base = 16
+    t0 = time.perf_counter()
+    for p in profiles[:n_base]:
+        msrouse_logL_numpy(Bs, Gs, Sigs, M0s, C0s, w, err, p, trajdata)
+    dt_base = (time.perf_counter() - t0) / n_base
+    rate_base = 1.0 / dt_base
+
+    print(json.dumps({
+        "metric": "logL_evals_per_sec",
+        "value": round(rate_device, 1),
+        "unit": "profiles/s",
+        "vs_baseline": round(rate_device / rate_base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

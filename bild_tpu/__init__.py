@@ -21,5 +21,11 @@ from . import profiles as util  # noqa: F401  (reference calls this module `util
 from . import models  # noqa: F401
 from . import physics  # noqa: F401
 from . import ops  # noqa: F401
+from . import amis  # noqa: F401
+from . import parallel  # noqa: F401
+from . import postproc  # noqa: F401
+from . import stats  # noqa: F401
+from .infer import sample, SamplingResults  # noqa: F401
+from .infer.choice import ChoiceSampler  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,284 @@
+"""
+Conflict-Free Categorical (CFC) proposal over state traces theta.
+
+Reference parity: ``bild/amis.py:153-536``. The CFC is a categorical over
+length-(k+1) state sequences with transition constraints, parametrized by
+per-slot weights ``logp`` (shape ``(n, k+1)``, normalized so
+``logsumexp(logp, axis=0) == 0``) and sampled causally slot by slot.
+
+Split of labor:
+
+- device (jit/vmap-safe pure functions): `cfc_sample` (a ``lax.scan`` over
+  slots), `cfc_logpmf`, `cfc_estimate` ("method of marginals" with a
+  ``lax.while_loop`` fixed-point solve per slot);
+- host (setup-time control logic, arbitrary-precision ints): counting
+  trajectories through transition-matrix powers (`N_total`,
+  `uniform_marginals`) and exhaustive enumeration (`full_sample`), exactly
+  the quantities whose integer growth forced the reference to python ints
+  (``bild/amis.py:426-438``).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+__all__ = ["CFC", "cfc_sample", "cfc_logpmf", "cfc_estimate"]
+
+
+# ---------------------------------------------------------------------------
+# Device-side pure functions
+# ---------------------------------------------------------------------------
+
+def cfc_sample(key, logp, transitions, N):
+    """
+    Draw ``N`` state traces from CFC(logp); ``(N, k+1)`` int32.
+
+    Causal scheme (reference ``bild/amis.py:223-256``): sample slot 0 from
+    ``logp[:, 0]``, then each next slot from ``logp[:, i]`` restricted to the
+    transitions allowed from the previous state. Implemented as a
+    ``lax.scan`` over slots with ``jax.random.categorical`` on masked logits.
+    """
+    logp = jnp.asarray(logp)
+    transitions = jnp.asarray(transitions, dtype=bool)
+    n, k1 = logp.shape
+    keys = jax.random.split(key, k1)
+
+    th0 = jax.random.categorical(keys[0], jnp.broadcast_to(logp[:, 0], (N, n)), axis=-1)
+
+    if k1 == 1:
+        return th0[:, None].astype(jnp.int32)
+
+    def step(prev, x):
+        ki, logp_i = x
+        allowed = transitions[prev]  # (N, n)
+        logits = jnp.where(allowed, logp_i[None, :], -jnp.inf)
+        th = jax.random.categorical(ki, logits, axis=-1)
+        return th, th
+
+    _, ths = jax.lax.scan(step, th0, (keys[1:], logp[:, 1:].T))
+    return jnp.concatenate([th0[:, None], ths.T], axis=1).astype(jnp.int32)
+
+
+def cfc_logpmf(logp, thetas, transitions):
+    """
+    Log-pmf of traces ``thetas`` (``(N, k+1)`` int) under CFC(logp) -> (N,).
+    Reference ``bild/amis.py:258-281``.
+    """
+    logp = jnp.asarray(logp)
+    thetas = jnp.asarray(thetas)
+    transitions = jnp.asarray(transitions, dtype=bool)
+
+    logp_theta = jnp.take_along_axis(logp[None, :, :], thetas[:, None, :], axis=1)[:, 0, :]
+    if thetas.shape[1] > 1:
+        # normalization of each conditional slot: logsumexp over allowed states
+        allowed = transitions[thetas[:, :-1]]             # (N, k, n)
+        log_norm = logsumexp(logp.T[None, 1:, :], b=allowed, axis=-1)  # (N, k)
+        log_norm_sum = jnp.sum(log_norm, axis=1)
+    else:
+        log_norm_sum = 0.0
+    log_norm0 = logsumexp(logp[:, 0])
+    return jnp.sum(logp_theta, axis=1) - log_norm_sum - log_norm0
+
+
+def _solve_marginals_single(logf, logg, transitions, maxiter, precision):
+    """
+    Fixed-point solve for slot weights from (current, previous) marginals.
+    Reference ``bild/amis.py:336-392``. Returns ``(logp, converged)``;
+    convergence cannot raise inside jit, so the flag is surfaced to the host.
+    """
+    n = logf.shape[0]
+    i_f0 = logf == -jnp.inf
+    i_g0 = logg == -jnp.inf
+    # Kronecker-delta marginals: weights equal the marginal directly
+    is_delta = jnp.any(logf == 0) | jnp.any(logg == 0)
+
+    def body(state):
+        logp_old, it, _ = state
+        log_norm = logsumexp(logp_old[None, :], b=transitions, axis=1)  # over j, for each i
+        log_norm = jnp.where(i_g0, 0.0, log_norm)
+        logg_norm = logg - log_norm
+        log_Sgp = logsumexp(logg_norm[:, None], b=transitions, axis=0)  # over i, for each j
+        log_Sgp = jnp.where(i_f0, 0.0, log_Sgp)
+        logp = logf - log_Sgp
+        logp = logp - logsumexp(logp)
+        delta = jnp.where(i_f0, 0.0, jnp.abs(logp - logp_old))
+        done = jnp.max(delta) < precision
+        return logp, it + 1, done
+
+    def cond(state):
+        _, it, done = state
+        return (~done) & (it < maxiter)
+
+    logp, _, done = jax.lax.while_loop(
+        cond, body, (logf, jnp.zeros((), jnp.int32), jnp.asarray(False))
+    )
+    logp = jnp.where(is_delta, logf, logp)
+    converged = is_delta | done
+    return logp, converged
+
+
+def cfc_logp_from_marginals(log_marginals, transitions, maxiter=1000, precision=1e-2):
+    """Slot-by-slot conversion of marginals to weights (reference
+    ``bild/amis.py:307-334``). Returns ``(logp, converged)``."""
+    log_marginals = jnp.asarray(log_marginals)
+    k1 = log_marginals.shape[1]
+    logp0 = log_marginals[:, 0]
+    if k1 == 1:
+        return logp0[:, None], jnp.asarray(True)
+
+    def scan_step(_, x):
+        logf, logg = x
+        logp, conv = _solve_marginals_single(logf, logg, transitions, maxiter, precision)
+        return None, (logp, conv)
+
+    _, (logps, convs) = jax.lax.scan(
+        scan_step, None, (log_marginals[:, 1:].T, log_marginals[:, :-1].T)
+    )
+    logp = jnp.concatenate([logp0[:, None], logps.T], axis=1)
+    return logp, jnp.all(convs)
+
+
+def cfc_estimate(thetas, log_weights, transitions, n, maxiter=1000, precision=1e-2):
+    """
+    "Method of marginals" (reference ``bild/amis.py:283-305``): weighted
+    marginals per slot, then invert to weights. Returns ``(logp, converged)``.
+    """
+    thetas = jnp.asarray(thetas)
+    log_weights = jnp.asarray(log_weights)
+    indicators = thetas[None, :, :] == jnp.arange(n)[:, None, None]  # (n, N, k+1)
+    log_marginals = logsumexp(log_weights[None, :, None], b=indicators, axis=1)
+    log_marginals = log_marginals - logsumexp(log_marginals, axis=0, keepdims=True)
+    return cfc_logp_from_marginals(log_marginals, transitions, maxiter, precision)
+
+
+# ---------------------------------------------------------------------------
+# Host-side CFC object (setup logic + convenience wrappers)
+# ---------------------------------------------------------------------------
+
+class CFC:
+    """
+    Conflict-Free Categorical distribution over state traces.
+
+    ``transitions[i, j]`` = is the switch ``i -> j`` allowed.
+    """
+
+    def __init__(self, transitions):
+        self.transitions = np.array(transitions, dtype=bool, copy=True)
+        self._transitions_dev = jnp.asarray(self.transitions)
+        self.MOM_maxiter = 1000
+        self.MOM_precision = 1e-2
+
+    @property
+    def n(self):
+        return self.transitions.shape[0]
+
+    # -- device wrappers ---------------------------------------------------
+    def sample(self, key, logp, N=1):
+        return cfc_sample(key, logp, self._transitions_dev, N)
+
+    def logpmf(self, logp, thetas):
+        return cfc_logpmf(logp, thetas, self._transitions_dev)
+
+    def estimate(self, thetas, log_weights):
+        logp, converged = cfc_estimate(
+            thetas, log_weights, self._transitions_dev, self.n,
+            self.MOM_maxiter, self.MOM_precision,
+        )
+        if not bool(converged):
+            raise RuntimeError("Iteration did not converge")
+        return logp
+
+    def solve_marginals_single(self, logf, logg):
+        logp, converged = _solve_marginals_single(
+            jnp.asarray(logf), jnp.asarray(logg), self._transitions_dev,
+            self.MOM_maxiter, self.MOM_precision,
+        )
+        if not bool(converged):
+            raise RuntimeError("Iteration did not converge")
+        return logp
+
+    # -- host-side counting (arbitrary precision ints) ---------------------
+    def _T_int(self):
+        """Transition matrix as a python-int nested list."""
+        return [[int(v) for v in row] for row in self.transitions]
+
+    @staticmethod
+    def _matmul_int(A, B):
+        n = len(A)
+        return [[sum(A[i][l] * B[l][j] for l in range(n)) for j in range(n)]
+                for i in range(n)]
+
+    def _matpow_int(self, p):
+        n = self.n
+        out = [[int(i == j) for j in range(n)] for i in range(n)]
+        base = self._T_int()
+        while p:
+            if p & 1:
+                out = self._matmul_int(out, base)
+            base = self._matmul_int(base, base)
+            p >>= 1
+        return out
+
+    def N_total(self, k, log=False):
+        """Number of state traces with ``k`` switches (python int; exact)."""
+        P = self._matpow_int(k)
+        N = sum(sum(row) for row in P)
+        return math.log(N) if log else N
+
+    def uniform_marginals(self, k):
+        """
+        Per-slot marginals of the uniform distribution over all traces, via
+        path counting with transition-matrix powers (reference
+        ``bild/amis.py:394-449``); exact in python ints, returned as float
+        log-marginals normalized per slot.
+        """
+        n = self.n
+        counts = np.empty((n, k + 1), dtype=object)
+        for i in range(k + 1):
+            Pin = self._matpow_int(i)     # paths arriving at state s after i steps
+            Pout = self._matpow_int(k - i)  # paths leaving state s for k-i steps
+            col_in = [sum(Pin[a][s] for a in range(n)) for s in range(n)]
+            row_out = [sum(Pout[s][b] for b in range(n)) for s in range(n)]
+            for s in range(n):
+                counts[s, i] = col_in[s] * row_out[s]
+
+        def safe_log(x):
+            return math.log(x) if x > 0 else -np.inf
+
+        totals = [sum(counts[s, i] for s in range(n)) for i in range(k + 1)]
+        out = np.array([[safe_log(counts[s, i]) - safe_log(totals[i])
+                         for i in range(k + 1)] for s in range(n)])
+        return out
+
+    def logp_uniform(self, k):
+        """Weights reproducing the uniform distribution (reference
+        ``bild/amis.py:451-472``)."""
+        logp, converged = cfc_logp_from_marginals(
+            jnp.asarray(self.uniform_marginals(k)), self._transitions_dev,
+            self.MOM_maxiter, self.MOM_precision,
+        )
+        if not bool(converged):
+            raise RuntimeError("Iteration did not converge")
+        return logp
+
+    def full_sample(self, k, Nmax=1000):
+        """
+        All state traces with ``k`` switches, ``(N_total, k+1)`` int array in
+        lexicographic (decision-tree) order. Raises ``ValueError`` if the
+        sample would exceed ``Nmax`` (reference ``bild/amis.py:496-536``).
+        """
+        N = self.N_total(k)
+        if N > Nmax:
+            raise ValueError(f"Full sample would be {N} > Nmax = {Nmax} traces")
+
+        allowed = [np.nonzero(self.transitions[i])[0].tolist() for i in range(self.n)]
+        rows = [[s] for s in range(self.n)]
+        for _ in range(k):
+            rows = [row + [nxt] for row in rows for nxt in allowed[row[-1]]]
+        rows = [row for row in rows if len(row) == k + 1]
+        return np.array(rows, dtype=int).reshape(len(rows), k + 1)

@@ -1,0 +1,394 @@
+"""
+Fixed-k AMIS sampler.
+
+Reference parity: ``FixedkSampler``, ``bild/amis.py:540-972``. The AMIS
+scheme (Cornuet et al. 2012) iterates: draw N profiles from the current
+proposal, evaluate their likelihoods, deterministic-mixture-reweight the full
+historical ensemble, refit the proposal by (braked) method of moments, and
+update the evidence estimate.
+
+TPU-native structure
+--------------------
+All sampler state lives in a fixed-size device pytree (`AmisState`):
+preallocated ``(S, N, .)`` ring-less buffers for the S = max_fev/N possible
+steps, plus proposal-parameter and evidence tracks. One AMIS step is two
+jitted calls around the model's batched likelihood:
+
+    propose: params -> (ss, thetas, profiles)          [device]
+    logL   : model.logL_batch(profiles, traj)          [device for Rouse/
+                                                        Factorized; host for
+                                                        ragged GGM]
+    update : delta-reweighting of the WHOLE ensemble, weighted MoM proposal
+             refit with concentration/polarization brakes, evidence/SEM/KL
+                                                       [device]
+
+This replaces the reference's per-profile Python loop and growing host lists
+(``bild/amis.py:734-739,822-845``) with masked fixed-shape array programs —
+the same functions vmap across trajectories for the lockstep batched runner.
+
+Semantics preserved exactly (SURVEY.md section 7): floor-based ``st2profile``
+discretization, prior ``k!/N_total`` (``bild/amis.py:654-659``), the
+concentration and polarization brakes (``:856-873``), exhaustive enumeration
+below ``max_fcomplete`` (``:741-803``), and the ``k >= T`` degeneracy guard
+(``:641-648``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import math
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import fdtype
+from ..profiles import Loopingprofile, st2profile
+from .cfc import CFC, cfc_sample, cfc_logpmf, cfc_estimate
+from .dirichlet import dirichlet_logpdf, dirichlet_estimate
+
+__all__ = ["FixedkSampler", "AmisState"]
+
+_NEG_INF = -jnp.inf
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AmisState:
+    """Fixed-shape device state of one fixed-k AMIS sampler."""
+
+    ss: jax.Array         # (S, N, k+1) float  — interval fractions
+    thetas: jax.Array     # (S, N, k+1) int32  — state traces
+    logLs: jax.Array      # (S, N) float
+    logdeltas: jax.Array  # (S, N) float — deterministic-mixture proposal mass
+    a_params: jax.Array   # (S+1, k+1) float — Dirichlet concentrations
+    logps: jax.Array      # (S+1, n, k+1) float — CFC weights
+    evidences: jax.Array  # (S, 3) float — (logev, dlogev, KL) per step
+    n_steps: jax.Array    # () int32
+    mom_ok: jax.Array     # () bool — CFC fixed point converged at every step
+
+    @staticmethod
+    def create(S, N, k, n, a0, logp0):
+        dtype = fdtype()
+        return AmisState(
+            ss=jnp.zeros((S, N, k + 1), dtype=dtype),
+            thetas=jnp.zeros((S, N, k + 1), dtype=jnp.int32),
+            logLs=jnp.zeros((S, N), dtype=dtype),
+            logdeltas=jnp.zeros((S, N), dtype=dtype),
+            a_params=jnp.zeros((S + 1, k + 1), dtype=dtype).at[0].set(a0),
+            logps=jnp.zeros((S + 1, n, k + 1), dtype=dtype).at[0].set(logp0),
+            evidences=jnp.zeros((S, 3), dtype=dtype),
+            n_steps=jnp.zeros((), dtype=jnp.int32),
+            mom_ok=jnp.ones((), dtype=bool),
+        )
+
+
+def _log_proposal(a, logp, ss, thetas, transitions):
+    """Joint proposal density: Dirichlet(s) x CFC(theta)."""
+    return dirichlet_logpdf(a, ss) + cfc_logpmf(logp, thetas, transitions)
+
+
+@partial(jax.jit, static_argnames=("N", "T"))
+def amis_propose(state: AmisState, key, transitions, *, N: int, T: int):
+    """Draw N (s, theta) pairs from the current proposal; also return the
+    discretized ``(N, T)`` profiles."""
+    sc = state.n_steps
+    a = state.a_params[sc]
+    logp = state.logps[sc]
+    kd, kc = jax.random.split(key)
+    ss = jax.random.dirichlet(kd, a, shape=(N,), dtype=a.dtype)
+    thetas = cfc_sample(kc, logp, transitions, N)
+    profiles = jax.vmap(lambda s, th: st2profile(s, th, T))(ss, thetas)
+    return ss, thetas, profiles
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def amis_update(state: AmisState, ss_new, th_new, logL_new, transitions,
+                logprior, conc_brake_N, pol_brake_N, *, maxiter: int = 1000):
+    """
+    Ingest one new sample block and run the AMIS ensemble update
+    (reference ``bild/amis.py:805-906``). Returns (state', (logev, dlogev, KL)).
+    """
+    S, N = state.logLs.shape
+    k1 = state.ss.shape[-1]
+    n = state.logps.shape[1]
+    sc = state.n_steps                      # index of the step being ingested
+    dtype = state.logLs.dtype
+
+    a_cur = state.a_params[sc]
+    logp_cur = state.logps[sc]
+
+    # write the new block
+    ss = state.ss.at[sc].set(ss_new)
+    thetas = state.thetas.at[sc].set(th_new)
+    logLs = state.logLs.at[sc].set(logL_new)
+
+    # current-proposal density for every stored sample (flat over S*N)
+    clp = _log_proposal(a_cur, logp_cur,
+                        ss.reshape(S * N, k1), thetas.reshape(S * N, k1),
+                        transitions).reshape(S, N)
+
+    # mixture-delta for the new block: logsumexp over all proposals 0..sc
+    def prop_j(a_j, logp_j):
+        return _log_proposal(a_j, logp_j, ss_new, th_new, transitions)
+
+    all_lp = jax.vmap(prop_j)(state.a_params, state.logps)      # (S+1, N)
+    slot_ok = (jnp.arange(S + 1) <= sc)[:, None]
+    logdelta_new = jax.scipy.special.logsumexp(
+        jnp.where(slot_ok, all_lp, _NEG_INF), axis=0)
+
+    row = jnp.arange(S)[:, None]                                # (S, 1)
+    is_old = row < sc
+    is_new = row == sc
+    logdeltas = jnp.where(
+        is_old, jnp.logaddexp(state.logdeltas, clp),
+        jnp.where(is_new, jnp.broadcast_to(logdelta_new[None, :], (S, N)),
+                  state.logdeltas))
+
+    # weights over the whole (masked) ensemble
+    valid = row <= sc
+    log_w = logLs - logdeltas + jnp.log1p(sc.astype(dtype))     # log(sc+1)
+    log_w_masked = jnp.where(valid, log_w, _NEG_INF)
+    flat_lw = log_w_masked.reshape(S * N)
+
+    # proposal refit (weighted MoM)
+    new_a = dirichlet_estimate(ss.reshape(S * N, k1), flat_lw)
+    new_logp, mom_conv = cfc_estimate(thetas.reshape(S * N, k1), flat_lw,
+                                      transitions, n, maxiter=maxiter)
+
+    # concentration brake (reference bild/amis.py:856-859)
+    log_cr = jnp.log(jnp.sum(new_a) / jnp.sum(a_cur))
+    over = jnp.abs(log_cr) > conc_brake_N
+    new_a = jnp.where(
+        over, new_a * jnp.exp(jnp.sign(log_cr) * conc_brake_N - log_cr), new_a)
+
+    # polarization brake, per slot (reference bild/amis.py:861-873)
+    old_p = jnp.exp(logp_cur)
+    new_p = jnp.exp(new_logp)
+    delta = new_p - old_p                                       # (n, k+1)
+    mad = jnp.max(jnp.abs(delta), axis=0)                       # (k+1,)
+    safe_mad = jnp.where(mad > 0, mad, 1.0)
+    braked = jnp.log(old_p + pol_brake_N * delta / safe_mad)
+    new_logp = jnp.where((mad > pol_brake_N)[None, :], braked, new_logp)
+
+    # evidence, SEM, KL (reference bild/amis.py:876-900)
+    cnt = ((sc + 1) * N).astype(dtype)
+    max_lw = jnp.max(log_w_masked)
+    w_o = jnp.where(valid, jnp.exp(log_w - max_lw), 0.0)
+    ev_o = jnp.sum(w_o) / cnt
+    logev = jnp.log(ev_o) + max_lw + logprior
+    var = jnp.sum(jnp.where(valid, (w_o - ev_o) ** 2, 0.0)) / (cnt - 1)
+    dlogev = jnp.sqrt(var / cnt) / ev_o
+
+    kl_term = w_o * (logLs - clp)
+    kl_term = jnp.where(valid & ~jnp.isnan(kl_term), kl_term, 0.0)
+    KL = jnp.sum(kl_term) / cnt / ev_o - logev + logprior
+
+    state = AmisState(
+        ss=ss, thetas=thetas, logLs=logLs, logdeltas=logdeltas,
+        a_params=state.a_params.at[sc + 1].set(new_a),
+        logps=state.logps.at[sc + 1].set(new_logp),
+        evidences=state.evidences.at[sc].set(jnp.stack([logev, dlogev, KL])),
+        n_steps=sc + 1,
+        mom_ok=state.mom_ok & mom_conv,
+    )
+    return state, (logev, dlogev, KL)
+
+
+@partial(jax.jit, static_argnames=("T", "nStates"))
+def _marginal_posterior(ss, thetas, log_weights, *, T: int, nStates: int):
+    """Weighted state marginals over an ensemble: ``(n, T)`` log-probs."""
+    flat_ss = ss.reshape(-1, ss.shape[-1])
+    flat_th = thetas.reshape(-1, thetas.shape[-1])
+    profs = jax.vmap(lambda s, th: st2profile(s, th, T))(flat_ss, flat_th)
+    indic = profs[:, None, :] == jnp.arange(nStates)[None, :, None]
+    logpost = jax.scipy.special.logsumexp(
+        log_weights.reshape(-1)[:, None, None], b=indic, axis=0)
+    return logpost - jax.scipy.special.logsumexp(logpost, axis=0)
+
+
+class FixedkSampler:
+    """
+    AMIS sampling at fixed switch count ``k`` for one (trajectory, model).
+
+    Parameters mirror the reference (``bild/amis.py:623-629``); ``key`` is
+    the explicit PRNG key (seeded from numpy's global RNG if omitted).
+    """
+
+    class ExhaustionImpractical(ValueError):
+        pass
+
+    def __init__(self, traj, model, k,
+                 N=100,
+                 concentration_brake=1e-2,
+                 polarization_brake=1e-3,
+                 max_fev=20000,
+                 max_fcomplete=1000,
+                 key=None):
+        self.k = k
+        self.N = N
+        self.brakes = (concentration_brake, polarization_brake)
+        self.max_fev = max_fev
+        self.max_fcomplete = max_fcomplete
+        self.exhausted = False
+
+        self.traj = traj
+        self.model = model
+        self.T = len(traj)
+
+        self.key = key if key is not None else jax.random.key(np.random.randint(2**31))
+        self.evidences = []          # host mirror: [(logev, dlogev, KL)]
+        self._exhaustive = None      # dict if exhaustively enumerated
+
+        if self.k >= self.T:
+            # unidentifiable by construction (reference bild/amis.py:641-648)
+            self.evidences = [(-np.inf, 1e-10, np.inf)]
+            self.exhausted = True
+            return
+
+        self.cfc = CFC(model.transitions)
+        self._transitions = jnp.asarray(model.transitions)
+        self.n = self.cfc.n
+
+        # uniform prior value over profiles: k! / N_total  (bild/amis.py:654-659)
+        self.logprior = float(
+            sum(math.log(i + 1) for i in range(self.k)) - self.cfc.N_total(self.k, log=True)
+        )
+
+        a0 = jnp.ones(self.k + 1, dtype=fdtype())
+        logp0 = self.cfc.logp_uniform(self.k)
+
+        self.S = max(1, -(-self.max_fev // self.N) - 1)  # max possible steps
+        self.state = AmisState.create(self.S, self.N, self.k, self.n, a0, logp0)
+
+        try:
+            self.fix_exhaustive()
+        except FixedkSampler.ExhaustionImpractical:
+            pass
+
+    # -- parameter conversion (host convenience) ---------------------------
+    def st2profile(self, s, theta) -> Loopingprofile:
+        """(s, theta) -> Loopingprofile (reference ``bild/amis.py:670-695``)."""
+        arr = np.asarray(st2profile(jnp.asarray(s, dtype=fdtype()),
+                                    jnp.asarray(theta, dtype=jnp.int32), self.T))
+        return Loopingprofile(arr)
+
+    def logL(self, ss, thetas):
+        """Batched likelihood of (s, theta) parameter arrays; ``(N,)``."""
+        profiles = jax.vmap(lambda s, th: st2profile(s, th, self.T))(
+            jnp.asarray(ss, dtype=fdtype()), jnp.asarray(thetas, dtype=jnp.int32))
+        return self.model.logL_batch(profiles, self.traj)
+
+    # -- exhaustive enumeration (reference ``bild/amis.py:741-803``) -------
+    def fix_exhaustive(self):
+        Nmax = min(self.max_fcomplete, self.max_fev)
+
+        Nsamples = self.cfc.N_total(self.k)
+        for i in range(self.k):
+            Nsamples *= self.T - i - 1
+            if Nsamples > Nmax:
+                raise self.ExhaustionImpractical(
+                    f"Parameter space too large for exhaustive sampling "
+                    f"(number of profiles = {Nsamples} > Nmax = {Nmax})")
+
+        # switch positions at inter-frame midpoints; ss = interval fractions
+        switch_list = list(itertools.combinations(np.arange(self.T - 1) + 0.5, self.k))
+        normed = (np.array(switch_list, dtype=float).reshape(len(switch_list), self.k)
+                  / (self.T - 1))
+        normed = np.concatenate(
+            [np.zeros((len(normed), 1)), normed, np.ones((len(normed), 1))], axis=1)
+        ss = np.diff(normed, axis=1)                       # (n_pos, k+1)
+
+        thetas = self.cfc.full_sample(self.k, Nmax=Nmax)   # (n_theta, k+1)
+
+        n_pos = len(ss)
+        ss = np.tile(ss, (len(thetas), 1))
+        thetas = np.repeat(thetas, n_pos, axis=0)
+
+        profiles = jax.vmap(lambda s, th: st2profile(s, th, self.T))(
+            jnp.asarray(ss, dtype=fdtype()), jnp.asarray(thetas, dtype=jnp.int32))
+        logLs = np.asarray(self.model.logL_batch(profiles, self.traj), dtype=float)
+
+        # exact evidence: mean over the uniform prior ensemble
+        max_logL = np.max(logLs)
+        weights_o = np.exp(logLs - max_logL)
+        ev_o = np.mean(weights_o)
+        logev = float(np.log(ev_o) + max_logL)
+        dlogev = 1e-10
+        KL = float(np.mean(logLs * weights_o) / ev_o - logev)
+
+        self._exhaustive = {
+            "ss": ss, "thetas": thetas,
+            "logLs": logLs, "profiles": np.asarray(profiles),
+        }
+        self.evidences.append((logev, dlogev, KL))
+        self.exhausted = True
+
+    # -- one AMIS step -----------------------------------------------------
+    def step(self) -> bool:
+        """Run one AMIS iteration; ``False`` iff the sampler is exhausted."""
+        if self.exhausted:
+            return False
+
+        self.key, sub = jax.random.split(self.key)
+        ss, thetas, profiles = amis_propose(
+            self.state, sub, self._transitions, N=self.N, T=self.T)
+        logLs = jnp.asarray(self.model.logL_batch(profiles, self.traj),
+                            dtype=fdtype())
+
+        dtype = fdtype()
+        self.state, (logev, dlogev, KL) = amis_update(
+            self.state, ss, thetas, logLs, self._transitions,
+            jnp.asarray(self.logprior, dtype=dtype),
+            jnp.asarray(self.N * self.brakes[0], dtype=dtype),
+            jnp.asarray(self.N * self.brakes[1], dtype=dtype),
+        )
+        if not bool(self.state.mom_ok):
+            raise RuntimeError("CFC method-of-marginals iteration did not converge")
+        self.evidences.append((float(logev), float(dlogev), float(KL)))
+
+        if (int(self.state.n_steps) + 1) * self.N >= self.max_fev:
+            self.exhausted = True
+        return True
+
+    # -- results -----------------------------------------------------------
+    def tstat(self, other) -> float:
+        """Evidence separation score (reference ``bild/amis.py:908-924``)."""
+        logev0, dlogev0 = self.evidences[-1][:2]
+        logev1, dlogev1 = other.evidences[-1][:2]
+        return (logev0 - logev1) / np.sqrt(dlogev0**2 + dlogev1**2)
+
+    def _ensemble(self):
+        """(ss, thetas, log_weights) of the full valid ensemble (host)."""
+        if self._exhaustive is not None:
+            ex = self._exhaustive
+            return ex["ss"], ex["thetas"], ex["logLs"]
+        sc = int(self.state.n_steps)
+        ss = np.asarray(self.state.ss[:sc]).reshape(-1, self.k + 1)
+        th = np.asarray(self.state.thetas[:sc]).reshape(-1, self.k + 1)
+        lw = (np.asarray(self.state.logLs[:sc])
+              - np.asarray(self.state.logdeltas[:sc]) + np.log(sc)).reshape(-1)
+        return ss, th, lw
+
+    def MAP_profile(self) -> Loopingprofile:
+        """Maximum-likelihood profile over all evaluated samples
+        (reference ``bild/amis.py:926-940``)."""
+        if self._exhaustive is not None:
+            i = int(np.argmax(self._exhaustive["logLs"]))
+            return Loopingprofile(self._exhaustive["profiles"][i])
+        sc = int(self.state.n_steps)
+        logLs = np.asarray(self.state.logLs[:sc])
+        step_i, samp_i = np.unravel_index(np.argmax(logLs), logLs.shape)
+        return self.st2profile(np.asarray(self.state.ss[step_i, samp_i]),
+                               np.asarray(self.state.thetas[step_i, samp_i]))
+
+    def log_marginal_posterior(self) -> np.ndarray:
+        """``(n, T)`` normalized log marginal posterior (reference
+        ``bild/amis.py:942-972``)."""
+        ss, th, lw = self._ensemble()
+        return np.asarray(_marginal_posterior(
+            jnp.asarray(ss, dtype=fdtype()), jnp.asarray(th, dtype=jnp.int32),
+            jnp.asarray(lw, dtype=fdtype()),
+            T=self.T, nStates=self.model.nStates))

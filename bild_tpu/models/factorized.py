@@ -74,6 +74,30 @@ class FactorizedModel(MultiStateModel):
             vals = jnp.where(profiles == s, table[s][None, :], vals)
         return jnp.sum(vals, axis=1)
 
+    def lockstep_fns(self, batch):
+        """
+        Lockstep-mode hooks (see ``MultiStateRouse.lockstep_fns``): the
+        per-trajectory data is the precomputed ``(n, T)`` logL table (host
+        scipy evaluations, batched once up front); the traceable likelihood
+        is a masked gather-sum.
+        """
+        mags = np.linalg.norm(np.asarray(batch.data), axis=-1)      # (B, T)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tables = np.stack([dist.logpdf(mags) for dist in self.distributions],
+                              axis=1)                                # (B, n, T)
+        tables = np.where(np.asarray(batch.valid)[:, None, :], tables, 0.0)
+        tables = jnp.asarray(tables, dtype=fdtype())
+        n = len(self.distributions)
+
+        def logL_fn(profiles, per_traj):
+            (table,) = per_traj                                      # (n, T)
+            vals = jnp.zeros(profiles.shape, dtype=table.dtype)
+            for s in range(n):
+                vals = jnp.where(profiles == s, table[s][None, :], vals)
+            return jnp.sum(vals, axis=1)
+
+        return (tables,), logL_fn
+
     # -- convenience -------------------------------------------------------
     def initial_loopingprofile(self, traj) -> Loopingprofile:
         """

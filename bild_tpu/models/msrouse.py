@@ -135,6 +135,29 @@ class MultiStateRouse(MultiStateModel):
             profiles, traj.data, traj.valid,
         )
 
+    def lockstep_fns(self, batch):
+        """
+        Lockstep-mode hooks: ``(per_traj, logL_fn)`` where ``per_traj`` is a
+        pytree with leading batch axis and ``logL_fn(profiles, per_traj)`` is
+        a traceable single-trajectory batched likelihood (vmapped by the
+        runner). Requires model-level ``localization_error`` (a shared noise
+        model across the dataset).
+        """
+        if self.localization_error is None:
+            raise ValueError("lockstep batch mode needs model.localization_error")
+        unique, Cind = np.unique(self.localization_error, return_inverse=True)
+        s2 = jnp.asarray(unique**2, dtype=fdtype())
+        Cind = jnp.asarray(Cind.astype(np.int32))
+        Bs, Gs, Sigs, M0s, C0s, w = (self.Bs, self.Gs, self.Sigs,
+                                     self.M0s, self.C0s, self.w)
+
+        def logL_fn(profiles, per_traj):
+            ydata, valid = per_traj
+            return msrouse_logL_batch(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
+                                      profiles, ydata, valid)
+
+        return (batch.data, batch.valid), logL_fn
+
     # -- convenience -------------------------------------------------------
     def initial_loopingprofile(self, traj) -> Loopingprofile:
         return self.toFactorized().initial_loopingprofile(traj)

@@ -1,0 +1,197 @@
+"""
+Lockstep batched inference — the dataset-scale throughput mode.
+
+The reference has no driver for multi-trajectory inference (users loop
+externally; ``bild/amis.py:732-733`` even rejects intra-trajectory
+parallelism). This module is the TPU-native answer: run the SAME fixed
+schedule of AMIS steps for every trajectory in a batch, with every step
+``vmap``-ed over trajectories and the whole per-k program one ``jit``. Under
+a device mesh the batch axis shards over chips (pure data parallelism over
+ICI); the optional ``prof`` axis shards the AMIS proposal batch.
+
+Control-flow difference vs the adaptive `bild_tpu.sample` (by design):
+no per-trajectory active learning — every k in ``0..k_max`` gets
+``steps_per_k`` AMIS steps. The evidence maximum + dE rule then picks
+``best_k`` per trajectory, exactly as in the adaptive mode.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import fdtype
+from ..amis.cfc import CFC
+from ..amis.sampler import AmisState, amis_propose, amis_update, _marginal_posterior
+from ..profiles import st2profile
+from ..trajectory import Trajectory
+
+__all__ = ["TrajectoryBatch", "BatchResults", "stack_trajectories", "sample_batch"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrajectoryBatch:
+    """A stacked, padded batch of trajectories: ``data (B, T, d)``,
+    ``valid (B, T)`` (padding frames are simply invalid)."""
+
+    data: jax.Array
+    valid: jax.Array
+
+    @property
+    def B(self):
+        return self.data.shape[0]
+
+    @property
+    def T(self):
+        return self.data.shape[1]
+
+
+def stack_trajectories(trajs: Sequence[Trajectory], T_pad: Optional[int] = None) -> TrajectoryBatch:
+    """Stack `Trajectory` objects, padding to the longest (or ``T_pad``)."""
+    T_max = max(len(t) for t in trajs)
+    T_pad = T_max if T_pad is None else T_pad
+    if T_pad < T_max:
+        raise ValueError(f"T_pad={T_pad} < longest trajectory ({T_max})")
+    d = trajs[0].d
+    B = len(trajs)
+    data = np.zeros((B, T_pad, d))
+    valid = np.zeros((B, T_pad), dtype=bool)
+    for i, t in enumerate(trajs):
+        if t.d != d:
+            raise ValueError("All trajectories in a batch need the same d")
+        data[i, : len(t)] = np.asarray(t.data)
+        valid[i, : len(t)] = np.asarray(t.valid)
+    return TrajectoryBatch(data=jnp.asarray(data, dtype=fdtype()),
+                           valid=jnp.asarray(valid))
+
+
+@dataclasses.dataclass
+class BatchResults:
+    """
+    Results of `sample_batch`: per-trajectory evidence curves and MAP
+    profiles per k. Mirrors the point-estimate API of `SamplingResults`.
+    """
+
+    k: np.ndarray              # (K+1,)
+    evidence: np.ndarray       # (B, K+1)
+    evidence_se: np.ndarray    # (B, K+1)
+    map_profiles: np.ndarray   # (K+1, B, T)
+    dE: float = 0.0
+
+    def best_k(self, dE=None) -> np.ndarray:
+        """(B,) smallest k within dE of each trajectory's max evidence."""
+        dE = self.dE if dE is None else dE
+        ev = self.evidence
+        plausible = ev >= (np.max(ev, axis=1, keepdims=True) - dE)
+        return np.argmax(plausible, axis=1)
+
+    def best_profile(self, dE=None) -> np.ndarray:
+        """(B, T) MAP profile at each trajectory's best k."""
+        bk = self.best_k(dE)
+        return self.map_profiles[bk, np.arange(len(bk))]
+
+
+def _make_k_runner(k, T, n, N, S, steps, transitions, a0, logp0, logprior,
+                   conc_brake_N, pol_brake_N, logL_fn):
+    """One-trajectory program running ``steps`` AMIS iterations at fixed k."""
+
+    def run_one(per_traj, key):
+        state = AmisState.create(S, N, k, n, a0, logp0)
+
+        def body(_, carry):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            ss, th, profiles = amis_propose(state, sub, transitions, N=N, T=T)
+            logLs = logL_fn(profiles, per_traj)
+            state, _ = amis_update(state, ss, th, logLs, transitions,
+                                   logprior, conc_brake_N, pol_brake_N)
+            return state, key
+
+        state, _ = jax.lax.fori_loop(0, steps, body, (state, key))
+
+        # per-k summaries
+        ev = state.evidences[steps - 1]                      # (3,)
+        flat_logLs = state.logLs[:steps].reshape(-1)
+        idx = jnp.argmax(flat_logLs)
+        ss_best = state.ss[:steps].reshape(-1, k + 1)[idx]
+        th_best = state.thetas[:steps].reshape(-1, k + 1)[idx]
+        map_prof = st2profile(ss_best, th_best, T)
+        return ev, map_prof
+
+    return run_one
+
+
+def sample_batch(model, batch: TrajectoryBatch,
+                 k_max=10,
+                 steps_per_k=20,
+                 N=100,
+                 dE=0.0,
+                 concentration_brake=1e-2,
+                 polarization_brake=1e-3,
+                 key=None,
+                 mesh=None) -> BatchResults:
+    """
+    Lockstep inference over a trajectory batch.
+
+    Parameters
+    ----------
+    model : model exposing ``lockstep_fns`` (MultiStateRouse, FactorizedModel)
+    batch : TrajectoryBatch
+    k_max, steps_per_k, N : schedule — every k gets ``steps_per_k`` AMIS
+        steps of ``N`` proposals (likelihood budget per trajectory:
+        ``(k_max+1) * steps_per_k * N``)
+    mesh : optional `jax.sharding.Mesh` with a ``data`` axis; the batch is
+        sharded over it (data parallelism over trajectories).
+    """
+    if key is None:
+        key = jax.random.key(np.random.randint(2**31))
+
+    per_traj, logL_fn = model.lockstep_fns(batch)
+    if mesh is not None:
+        from .mesh import shard_batch
+        per_traj = shard_batch(per_traj, mesh)
+
+    B, T = batch.B, batch.T
+    cfc = CFC(model.transitions)
+    transitions = jnp.asarray(model.transitions)
+    n = cfc.n
+    dtype = fdtype()
+
+    evs, maps = [], []
+    for k in range(k_max + 1):
+        if k >= T:
+            evs.append(np.full((B, 3), [-np.inf, 1e-10, np.inf]))
+            maps.append(np.zeros((B, T), dtype=int))
+            continue
+
+        a0 = jnp.ones(k + 1, dtype=dtype)
+        logp0 = cfc.logp_uniform(k)
+        logprior = jnp.asarray(
+            sum(math.log(i + 1) for i in range(k)) - cfc.N_total(k, log=True),
+            dtype=dtype)
+
+        run_one = _make_k_runner(
+            k, T, n, N, steps_per_k, steps_per_k, transitions, a0, logp0,
+            logprior, jnp.asarray(N * concentration_brake, dtype=dtype),
+            jnp.asarray(N * polarization_brake, dtype=dtype), logL_fn)
+
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, B)
+        ev_k, map_k = jax.jit(jax.vmap(run_one))(per_traj, keys)
+        evs.append(np.asarray(ev_k))
+        maps.append(np.asarray(map_k))
+
+    evs = np.stack(evs, axis=1)          # (B, K+1, 3)
+    return BatchResults(
+        k=np.arange(k_max + 1),
+        evidence=evs[:, :, 0],
+        evidence_se=evs[:, :, 1],
+        map_profiles=np.stack(maps, axis=0),
+        dE=dE,
+    )

@@ -1,0 +1,114 @@
+"""End-to-end inference tests (mirrors reference tests/test_bild.py TestCore /
+TestPostproc) plus stats coverage the reference lacks."""
+import numpy as np
+import jax
+from scipy import stats as sp_stats
+from scipy.special import logsumexp
+
+import bild_tpu as bild
+from bild_tpu import Trajectory
+from bild_tpu.models import FactorizedModel
+
+
+def _setup():
+    traj = Trajectory.create(np.array([0.1, 0.05, 6, 3, 4, 0.01, 5, 7]))
+    model = FactorizedModel([sp_stats.maxwell(scale=0.1),
+                             sp_stats.maxwell(scale=1)])
+    return traj, model
+
+
+class TestSample:
+    def test_sample(self):
+        traj, model = _setup()
+        for seed in range(3):
+            res = bild.sample(traj, model,
+                              init_runs=5,
+                              sampler_kw={"max_fev": 1000},
+                              key=jax.random.key(seed))
+            assert len(res.k) > 4
+            assert np.argmax(res.evidence) >= 3
+            assert np.all(res.evidence_se > 0)
+            np.testing.assert_array_equal(res.best_profile()[:],
+                                          res.best_profile(dE=2)[:])
+
+        for dE in (None, 2, "average"):
+            logpost = res.log_marginal_posterior(dE=dE)
+            np.testing.assert_array_almost_equal(
+                logsumexp(logpost, axis=0), np.zeros(logpost.shape[1]), decimal=6)
+
+    def test_sample_long_lookahead(self):
+        traj, model = _setup()
+        res = bild.sample(traj, model,
+                          init_runs=5,
+                          sampler_kw={"N": 10, "max_fev": 100, "max_fcomplete": 10},
+                          k_lookahead=5,
+                          key=jax.random.key(10))
+        for dE in (None, 2):
+            logpost = res.log_marginal_posterior(dE=dE)
+            np.testing.assert_array_almost_equal(
+                logsumexp(logpost, axis=0), np.zeros(logpost.shape[1]), decimal=6)
+
+    def test_sample_small_kmax(self):
+        traj, model = _setup()
+        res = bild.sample(traj, model,
+                          init_runs=5,
+                          sampler_kw={"N": 10, "max_fev": 100, "max_fcomplete": 10},
+                          k_lookahead=5,
+                          k_max=3,
+                          key=jax.random.key(11))
+        assert len(res.k) <= 5  # k_max + 1 samplers at most (+ tolerance)
+        for dE in (None, 2):
+            logpost = res.log_marginal_posterior(dE=dE)
+            np.testing.assert_array_almost_equal(
+                logsumexp(logpost, axis=0), np.zeros(logpost.shape[1]), decimal=6)
+
+
+class TestPostproc:
+    def setup_method(self):
+        self.traj, self.model = _setup()
+
+    def test_optimize_boundary(self):
+        bad = bild.Loopingprofile([0, 1, 1, 1, 0, 0, 0, 1])
+        better = bild.postproc.optimize_boundary(bad, self.traj, self.model)
+        np.testing.assert_array_equal(better[:], [0, 0, 1, 1, 1, 0, 1, 1])
+
+        try:
+            bild.postproc.optimize_boundary(bad, self.traj, self.model, max_iteration=2)
+            assert False
+        except RuntimeError:
+            pass
+
+        bad = bild.Loopingprofile([0, 1, 0, 1, 0, 0, 0, 1])
+        try:
+            bild.postproc.optimize_boundary(bad, self.traj, self.model)
+            assert False
+        except bild.postproc.BoundaryEliminationError:
+            pass
+
+        flat = bild.Loopingprofile([1, 1, 1, 1, 1, 1, 1, 1])
+        out = bild.postproc.optimize_boundary(flat, self.traj, self.model, max_iteration=1)
+        np.testing.assert_array_equal(out[:], flat[:])
+
+
+class TestStats:
+    def test_KM_survival(self):
+        data = np.array([1.0, 2, 2, 3, 5, 6, 7])
+        censored = np.array([0, 0, 0, 1, 0, 1, 0], dtype=bool)
+        out = bild.stats.KM_survival(data, censored)
+        assert out.shape[1] == 4
+        S = out[:, 1]
+        assert S[0] == 1
+        assert np.all(np.diff(S) <= 1e-12)  # non-increasing
+        # column convention follows the reference (bild/stats.py:54-56): with
+        # z = ppf((1-conf)/2) < 0, column 2 is the numerically-upper band
+        assert np.all((out[:, 3] <= S + 1e-12) & (S <= out[:, 2] + 1e-12))
+
+    def test_MLE_censored_exponential(self, rng):
+        true_mean = 3.0
+        data = rng.exponential(true_mean, size=2000)
+        cens_at = 5.0
+        censored = data > cens_at
+        data = np.minimum(data, cens_at)
+        m, lo, hi = bild.stats.MLE_censored_exponential(data, censored)
+        assert lo < m < hi
+        assert abs(m - true_mean) < 0.3

@@ -1,0 +1,79 @@
+"""Multi-device tests: lockstep batched inference sharded over the virtual
+8-device CPU mesh (capability the reference lacks; SURVEY.md section 2,
+parallelism inventory)."""
+import numpy as np
+import jax
+from scipy import stats as sp_stats
+
+import bild_tpu as bild
+from bild_tpu.models import FactorizedModel, MultiStateRouse
+from bild_tpu.parallel import make_mesh, stack_trajectories, sample_batch
+from bild_tpu import Trajectory
+
+
+def _factorized_batch(B=8, T=8):
+    model = FactorizedModel([sp_stats.maxwell(scale=0.1),
+                             sp_stats.maxwell(scale=1)], d=1)
+    rng = np.random.default_rng(0)
+    trajs, true_ks = [], []
+    for i in range(B):
+        prof = np.zeros(T, dtype=int)
+        if i % 2 == 1:
+            prof[T // 2:] = 1  # one switch
+        traj = model.trajectory_from_loopingprofile(
+            prof, key=jax.random.key(100 + i))
+        trajs.append(traj)
+        true_ks.append(int(np.sum(prof[1:] != prof[:-1])))
+    return model, trajs, np.array(true_ks)
+
+
+def test_stack_trajectories_padding():
+    t1 = Trajectory.create(np.ones((4, 1)))
+    t2 = Trajectory.create(np.ones((7, 1)))
+    batch = stack_trajectories([t1, t2])
+    assert batch.data.shape == (2, 7, 1)
+    assert batch.valid[0, 4:].sum() == 0  # padding invalid
+    assert batch.valid[1].sum() == 7
+
+
+def test_sample_batch_factorized():
+    model, trajs, true_ks = _factorized_batch()
+    batch = stack_trajectories(trajs)
+    res = sample_batch(model, batch, k_max=3, steps_per_k=10, N=50,
+                       key=jax.random.key(0))
+    assert res.evidence.shape == (8, 4)
+    best = res.best_k()
+    # evidence should at least distinguish 0-switch from 1-switch trajectories
+    assert np.all(best[true_ks == 0] == 0)
+    assert np.all(best[true_ks == 1] >= 1)
+
+    profs = res.best_profile()
+    assert profs.shape == (8, 8)
+
+
+def test_sample_batch_sharded_over_mesh():
+    model, trajs, true_ks = _factorized_batch()
+    batch = stack_trajectories(trajs)
+    mesh = make_mesh(shape=(8, 1))
+    assert mesh.devices.size == 8
+    res = sample_batch(model, batch, k_max=2, steps_per_k=8, N=30,
+                       key=jax.random.key(1), mesh=mesh)
+    # sharded run must agree with itself structurally and distinguish k
+    assert np.all(res.best_k()[true_ks == 0] == 0)
+
+
+def test_sample_batch_rouse():
+    model = MultiStateRouse(10, 1, 5, d=1, localization_error=0.3)
+    T = 20
+    prof0 = np.zeros(T, dtype=int)
+    prof1 = np.zeros(T, dtype=int)
+    prof1[8:14] = 1
+    trajs = [model.trajectory_from_loopingprofile(p, key=jax.random.key(i))
+             for i, p in enumerate([prof0, prof1, prof0, prof1])]
+    batch = stack_trajectories(trajs)
+    res = sample_batch(model, batch, k_max=3, steps_per_k=8, N=50,
+                       key=jax.random.key(2))
+    assert res.evidence.shape == (4, 4)
+    assert np.all(np.isfinite(res.evidence))
+    # constant trajectories prefer k=0
+    assert np.all(res.best_k()[[0, 2]] == 0)
