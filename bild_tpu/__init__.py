@@ -22,6 +22,7 @@ from . import models  # noqa: F401
 from . import physics  # noqa: F401
 from . import ops  # noqa: F401
 from . import amis  # noqa: F401
+from . import io  # noqa: F401
 from . import parallel  # noqa: F401
 from . import postproc  # noqa: F401
 from . import stats  # noqa: F401

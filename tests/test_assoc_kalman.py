@@ -1,0 +1,42 @@
+"""Temporal-parallel Kalman parity vs the sequential kernel (f64)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bild_tpu import Trajectory
+from bild_tpu.models import MultiStateRouse
+from bild_tpu.ops.kalman import msrouse_logL_batch
+from bild_tpu.ops.assoc_kalman import msrouse_logL_assoc
+
+
+def _args(model, traj, profiles):
+    s2, Cind = model._noise_arrays(traj)
+    return (model.Bs, model.Gs, model.Sigs, model.M0s, model.C0s,
+            model.w, s2, Cind, jnp.asarray(profiles, dtype=jnp.int32),
+            traj.data, traj.valid)
+
+
+def test_assoc_parity(rng):
+    model = MultiStateRouse(10, 1.0, 4.0, d=3, localization_error=[0.1, 0.2, 0.1])
+    T = 64
+    data = rng.normal(size=(T, 3))
+    data[[0, 7, 33]] = np.nan
+    traj = Trajectory.create(data)
+    profiles = rng.integers(0, 2, size=(6, T))
+    a = _args(model, traj, profiles)
+    want = np.asarray(msrouse_logL_batch(*a))
+    got = np.array([msrouse_logL_assoc(*a[:8], p, a[9], a[10])
+                    for p in a[8]])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_assoc_parity_long(rng):
+    model = MultiStateRouse(8, 1.0, 3.0, d=1, localization_error=0.2)
+    T = 500
+    prof = ((np.arange(T) // 100) % 2).astype(int)
+    data = rng.normal(size=(T, 1))
+    traj = Trajectory.create(data)
+    a = _args(model, traj, prof[None, :])
+    want = float(np.asarray(msrouse_logL_batch(*a))[0])
+    got = float(msrouse_logL_assoc(*a[:8], a[8][0], a[9], a[10]))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
