@@ -1,0 +1,22 @@
+# Convenience targets (analog of the reference Makefile:24-106)
+
+PY ?= python
+
+.PHONY: tests bench native clean docs
+
+tests:
+	$(PY) -m pytest tests/ -q
+
+bench:
+	$(PY) bench.py
+
+# build the native loader explicitly (otherwise built on first use)
+native:
+	g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread \
+	    -o bild_tpu/native/_loader.so bild_tpu/native/loader.cpp
+
+docs:
+	$(PY) -m sphinx -b html docs/ docs/_build/html
+
+clean:
+	rm -rf bild_tpu/native/_loader.so **/__pycache__ .pytest_cache docs/_build

@@ -31,7 +31,8 @@ from ..amis.sampler import AmisState, amis_propose, amis_update, _marginal_poste
 from ..profiles import st2profile
 from ..trajectory import Trajectory
 
-__all__ = ["TrajectoryBatch", "BatchResults", "stack_trajectories", "sample_batch"]
+__all__ = ["TrajectoryBatch", "BatchResults", "stack_trajectories",
+           "bucket_trajectories", "sample_batch"]
 
 
 @jax.tree_util.register_dataclass
@@ -69,6 +70,37 @@ def stack_trajectories(trajs: Sequence[Trajectory], T_pad: Optional[int] = None)
         valid[i, : len(t)] = np.asarray(t.valid)
     return TrajectoryBatch(data=jnp.asarray(data, dtype=fdtype()),
                            valid=jnp.asarray(valid))
+
+
+def bucket_trajectories(trajs: Sequence[Trajectory], bucket_edges=(64, 128, 256, 512, 1024)):
+    """
+    Group ragged-length trajectories into padded batches by length bucket
+    (bounds recompiles: one compiled program per bucket, SURVEY.md section 7
+    "dynamic shapes" plan).
+
+    Returns a list of ``(indices, TrajectoryBatch)`` where ``indices`` maps
+    each batch row back to the position in ``trajs``.
+
+    Note: padding frames behave exactly like trailing missing frames, which
+    the profile formalism already supports (profiles span missing frames;
+    reference ``bild/util.py:10-24``). Evidence values are therefore computed
+    at the padded length — consistent within a bucket, and the same thing
+    the reference computes for a trajectory whose tail frames are missing.
+    """
+    edges = sorted(bucket_edges)
+    buckets = {}
+    for i, t in enumerate(trajs):
+        T = len(t)
+        pad = next((e for e in edges if T <= e), None)
+        if pad is None:
+            pad = T  # oversize: its own exact-size bucket
+        buckets.setdefault(pad, []).append(i)
+    out = []
+    for pad in sorted(buckets):
+        idx = buckets[pad]
+        out.append((np.array(idx),
+                    stack_trajectories([trajs[i] for i in idx], T_pad=pad)))
+    return out
 
 
 @dataclasses.dataclass
