@@ -42,6 +42,13 @@ class GenericGaussianModel(MultiStateModel):
         self.state_spec = np.asarray(state_spec, dtype=object)
         assert len(self.state_spec.shape) == 3
         self.init_transitions(self.state_spec.shape[0])
+        # per-interval likelihood cache: profile likelihoods decompose over
+        # constant-state intervals, and AMIS proposals re-visit the same
+        # intervals constantly -- memoizing the interval contribution makes
+        # batched evaluation tractable without a device formulation of the
+        # (inherently ragged) blockwise GP likelihood
+        self._interval_memo = {}
+        self._memo_traj = None
 
     # -- MSD constructors (reference ``bild/models.py:583-599``) -----------
     @staticmethod
@@ -66,42 +73,68 @@ class GenericGaussianModel(MultiStateModel):
     def d(self):
         return self.state_spec.shape[1]
 
+    def initial_loopingprofile(self, traj):  # pragma: no cover
+        # parity with the reference (bild/models.py:605-606)
+        raise NotImplementedError
+
+    def clear_memo(self):
+        self._interval_memo = {}
+        self._memo_traj = None
+
     # -- likelihood (reference ``bild/models.py:608-661``) -----------------
+    def _interval_logL(self, trajdata, t0, t1, n, is_first) -> float:
+        """Likelihood contribution of frames [t_start, t1) in state ``n``,
+        conditioned on the last frame of the previous interval unless
+        ``is_first``."""
+        key = (t0, t1, n, is_first)
+        if key in self._interval_memo:
+            return self._interval_memo[key]
+
+        t_start = t0 if is_first else t0 - 1  # continuity conditioning
+        logL = 0.0
+        for dim in range(self.d):
+            trace = trajdata[t_start:t1][:, dim]
+            ti = np.nonzero(~np.isnan(trace))[0]
+            trace = trace[ti]
+
+            msd_fun, m, ss_order = self.state_spec[n, dim]
+            C = gp.msd2C(msd_fun, ti, ss_order)
+
+            if ss_order == 0:
+                x = trace - m
+                if not is_first:
+                    # condition on the last datum of the previous interval
+                    mu = trace[0] * C[1:, 0] / C[0, 0]
+                    x = x[1:] - mu
+                    C = C - C[:, [0]] * C[[0], :] / C[0, 0]
+                    C = C[1:, 1:]
+            elif ss_order == 1:
+                x = np.diff(trace) - m
+            else:  # pragma: no cover
+                raise ValueError(f"ss_order should be 0 or 1; got {ss_order}")
+
+            _, logdet = np.linalg.slogdet(C)
+            xCx = x @ np.linalg.solve(C, x)
+            logL += -0.5 * (xCx + logdet + len(C) * LOG_2PI)
+
+        self._interval_memo[key] = float(logL)
+        return self._interval_memo[key]
+
     def logL(self, profile, traj) -> float:
+        if self._memo_traj is not traj and self._memo_traj != traj:
+            self._interval_memo = {}
+            self._memo_traj = traj
+
         profile = Loopingprofile(np.asarray(profile))
         ivs = profile.intervals()
+        ivs[0] = (0, ivs[0][1], ivs[0][2])
         ivs[-1] = (ivs[-1][0], len(profile), ivs[-1][2])
 
         trajdata = traj[:]  # NaN-sentinel (T, d) view
-        logL = 0.0
-        for i, (t0, t1, n) in enumerate(ivs):
-            t_start = 0 if i == 0 else t0 - 1  # continuity conditioning
-            for dim in range(self.d):
-                trace = trajdata[t_start:t1][:, dim]
-                ti = np.nonzero(~np.isnan(trace))[0]
-                trace = trace[ti]
-
-                msd_fun, m, ss_order = self.state_spec[n, dim]
-                C = gp.msd2C(msd_fun, ti, ss_order)
-
-                if ss_order == 0:
-                    x = trace - m
-                    if i > 0:
-                        # condition on the last datum of the previous interval
-                        mu = trace[0] * C[1:, 0] / C[0, 0]
-                        x = x[1:] - mu
-                        C = C - C[:, [0]] * C[[0], :] / C[0, 0]
-                        C = C[1:, 1:]
-                elif ss_order == 1:
-                    x = np.diff(trace) - m
-                else:  # pragma: no cover
-                    raise ValueError(f"ss_order should be 0 or 1; got {ss_order}")
-
-                _, logdet = np.linalg.slogdet(C)
-                xCx = x @ np.linalg.solve(C, x)
-                logL += -0.5 * (xCx + logdet + len(C) * LOG_2PI)
-
-        return float(logL)
+        return float(sum(
+            self._interval_logL(trajdata, t0, t1, n, i == 0)
+            for i, (t0, t1, n) in enumerate(ivs)
+        ))
 
     # -- generative model (reference ``bild/models.py:663-728``) -----------
     def trajectory_from_loopingprofile(self, profile, missing_frames=None,

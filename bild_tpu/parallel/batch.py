@@ -115,6 +115,7 @@ class BatchResults:
     evidence_se: np.ndarray    # (B, K+1)
     map_profiles: np.ndarray   # (K+1, B, T)
     dE: float = 0.0
+    marginals: Optional[np.ndarray] = None  # (K+1, B, n, T) log-posteriors
 
     def best_k(self, dE=None) -> np.ndarray:
         """(B,) smallest k within dE of each trajectory's max evidence."""
@@ -128,9 +129,30 @@ class BatchResults:
         bk = self.best_k(dE)
         return self.map_profiles[bk, np.arange(len(bk))]
 
+    def log_marginal_posterior(self, dE=None) -> np.ndarray:
+        """
+        (B, n, T) log marginal state posteriors. ``dE='average'`` averages
+        over k weighted by evidence (mirrors
+        `SamplingResults.log_marginal_posterior`). Requires the run to have
+        used ``marginals=True``.
+        """
+        if self.marginals is None:
+            raise ValueError("run sample_batch(..., marginals=True) first")
+        from scipy.special import logsumexp
+
+        if isinstance(dE, str) and dE == "average":
+            finite = np.isfinite(self.evidence)              # (B, K+1)
+            w = np.where(finite.T[:, :, None, None],
+                         self.marginals + self.evidence.T[:, :, None, None],
+                         -np.inf)
+            logpost = logsumexp(w, axis=0)                   # (B, n, T)
+            return logpost - logsumexp(logpost, axis=1, keepdims=True)
+        bk = self.best_k(dE)
+        return self.marginals[bk, np.arange(len(bk))]
+
 
 def _make_k_runner(k, T, n, N, S, steps, transitions, a0, logp0, logprior,
-                   conc_brake_N, pol_brake_N, logL_fn):
+                   conc_brake_N, pol_brake_N, logL_fn, marginals):
     """One-trajectory program running ``steps`` AMIS iterations at fixed k."""
 
     def run_one(per_traj, key):
@@ -154,7 +176,16 @@ def _make_k_runner(k, T, n, N, S, steps, transitions, a0, logp0, logprior,
         ss_best = state.ss[:steps].reshape(-1, k + 1)[idx]
         th_best = state.thetas[:steps].reshape(-1, k + 1)[idx]
         map_prof = st2profile(ss_best, th_best, T)
-        return ev, map_prof
+
+        if marginals:
+            log_w = (state.logLs[:steps] - state.logdeltas[:steps]
+                     + jnp.log(float(steps)))
+            logpost = _marginal_posterior(
+                state.ss[:steps], state.thetas[:steps], log_w,
+                T=T, nStates=n)                              # (n, T)
+        else:
+            logpost = jnp.zeros((0, 0), dtype=ev.dtype)
+        return ev, map_prof, logpost
 
     return run_one
 
@@ -167,7 +198,8 @@ def sample_batch(model, batch: TrajectoryBatch,
                  concentration_brake=1e-2,
                  polarization_brake=1e-3,
                  key=None,
-                 mesh=None) -> BatchResults:
+                 mesh=None,
+                 marginals=False) -> BatchResults:
     """
     Lockstep inference over a trajectory batch.
 
@@ -195,11 +227,12 @@ def sample_batch(model, batch: TrajectoryBatch,
     n = cfc.n
     dtype = fdtype()
 
-    evs, maps = [], []
+    evs, maps, margs = [], [], []
     for k in range(k_max + 1):
         if k >= T:
             evs.append(np.full((B, 3), [-np.inf, 1e-10, np.inf]))
             maps.append(np.zeros((B, T), dtype=int))
+            margs.append(np.full((B, n, T), -np.inf))
             continue
 
         a0 = jnp.ones(k + 1, dtype=dtype)
@@ -211,13 +244,16 @@ def sample_batch(model, batch: TrajectoryBatch,
         run_one = _make_k_runner(
             k, T, n, N, steps_per_k, steps_per_k, transitions, a0, logp0,
             logprior, jnp.asarray(N * concentration_brake, dtype=dtype),
-            jnp.asarray(N * polarization_brake, dtype=dtype), logL_fn)
+            jnp.asarray(N * polarization_brake, dtype=dtype), logL_fn,
+            marginals)
 
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, B)
-        ev_k, map_k = jax.jit(jax.vmap(run_one))(per_traj, keys)
+        ev_k, map_k, marg_k = jax.jit(jax.vmap(run_one))(per_traj, keys)
         evs.append(np.asarray(ev_k))
         maps.append(np.asarray(map_k))
+        if marginals:
+            margs.append(np.asarray(marg_k))
 
     evs = np.stack(evs, axis=1)          # (B, K+1, 3)
     return BatchResults(
@@ -226,4 +262,5 @@ def sample_batch(model, batch: TrajectoryBatch,
         evidence_se=evs[:, :, 1],
         map_profiles=np.stack(maps, axis=0),
         dE=dE,
+        marginals=np.stack(margs, axis=0) if marginals else None,
     )

@@ -138,6 +138,43 @@ class Trajectory:
         )
 
 
+def _from_dataframe(df) -> np.ndarray:
+    """
+    Extract an ``(N, T, d)`` array from a DataFrame using the noctiluca
+    column convention (``x1, y1, z1, x2, ...`` with an optional ``frame``
+    column; see reference ``bild/core.py:48-52``). Unsuffixed ``x, y, z``
+    denote a single locus. Frames missing from the index become NaN rows.
+    """
+    import re
+
+    cols = {}
+    for col in df.columns:
+        mm = re.fullmatch(r"([xyz])(\d*)", str(col))
+        if mm:
+            dim = "xyz".index(mm.group(1))
+            locus = int(mm.group(2)) if mm.group(2) else 1
+            cols[(locus, dim)] = col
+    if not cols:
+        raise ValueError("DataFrame needs coordinate columns x[1], y[1], z[1], x2, ...")
+
+    loci = sorted({k[0] for k in cols})
+    dims = sorted({k[1] for k in cols})
+    if "frame" in df.columns:
+        frames = np.asarray(df["frame"], dtype=int)
+    else:
+        frames = np.arange(len(df))
+    f0 = frames.min()
+    T = int(frames.max() - f0) + 1
+
+    arr = np.full((len(loci), T, len(dims)), np.nan)
+    for i, locus in enumerate(loci):
+        for j, dim in enumerate(dims):
+            key = (locus, dim)
+            if key in cols:
+                arr[i, frames - f0, j] = np.asarray(df[cols[key]], dtype=float)
+    return arr
+
+
 def make_trajectory(obj, localization_error=None, **meta) -> Trajectory:
     """
     Coerce user input to a `Trajectory`.
@@ -150,7 +187,10 @@ def make_trajectory(obj, localization_error=None, **meta) -> Trajectory:
     """
     if isinstance(obj, Trajectory):
         return obj
-    arr = np.asarray(obj, dtype=float)
+    if hasattr(obj, "columns"):  # pandas DataFrame, noctiluca column scheme
+        arr = _from_dataframe(obj)
+    else:
+        arr = np.asarray(obj, dtype=float)
     if arr.ndim == 3:
         if arr.shape[0] == 1:
             arr = arr[0]
