@@ -197,6 +197,32 @@ def amis_update(state: AmisState, ss_new, th_new, logL_new, transitions,
     return state, (logev, dlogev, KL)
 
 
+# fused steps are cached by (logL_fn identity, N, T): models hand out STABLE
+# logL_fn objects (cached on the model instance), so re-creating samplers for
+# the same model re-uses compiled steps instead of re-tracing per sampler
+_FUSED_STEPS = {}
+
+
+def _make_fused_step(logL_fn, N: int, T: int):
+    """One-dispatch AMIS step for models with a traceable likelihood
+    (`lockstep_fns_single`): propose -> batched logL -> ensemble update in a
+    single jitted call. Cuts host<->device round trips from 3 to 1 per step,
+    which dominates adaptive-mode latency on a remote TPU."""
+    cache_key = (logL_fn, N, T)
+    if cache_key in _FUSED_STEPS:
+        return _FUSED_STEPS[cache_key]
+
+    @jax.jit
+    def step(state, key, transitions, logprior, cb, pb, per_traj):
+        ss, th, profiles = amis_propose(state, key, transitions, N=N, T=T)
+        logLs = logL_fn(profiles, per_traj)
+        return amis_update(state, ss, th, logLs.astype(state.logLs.dtype),
+                           transitions, logprior, cb, pb)
+
+    _FUSED_STEPS[cache_key] = step
+    return step
+
+
 @partial(jax.jit, static_argnames=("T", "nStates"))
 def _marginal_posterior(ss, thetas, log_weights, *, T: int, nStates: int):
     """Weighted state marginals over an ensemble: ``(n, T)`` log-probs."""
@@ -262,6 +288,15 @@ class FixedkSampler:
 
         self.S = max(1, -(-self.max_fev // self.N) - 1)  # max possible steps
         self.state = AmisState.create(self.S, self.N, self.k, self.n, a0, logp0)
+
+        # fused single-dispatch step when the model likelihood is traceable
+        self._fused = None
+        self._per_traj = None
+        try:
+            self._per_traj, logL_fn = model.lockstep_fns_single(traj)
+            self._fused = _make_fused_step(logL_fn, self.N, self.T)
+        except (AttributeError, ValueError):
+            pass
 
         try:
             self.fix_exhaustive()
@@ -333,18 +368,24 @@ class FixedkSampler:
             return False
 
         self.key, sub = jax.random.split(self.key)
-        ss, thetas, profiles = amis_propose(
-            self.state, sub, self._transitions, N=self.N, T=self.T)
-        logLs = jnp.asarray(self.model.logL_batch(profiles, self.traj),
-                            dtype=fdtype())
-
         dtype = fdtype()
-        self.state, (logev, dlogev, KL) = amis_update(
-            self.state, ss, thetas, logLs, self._transitions,
-            jnp.asarray(self.logprior, dtype=dtype),
-            jnp.asarray(self.N * self.brakes[0], dtype=dtype),
-            jnp.asarray(self.N * self.brakes[1], dtype=dtype),
-        )
+        logprior = jnp.asarray(self.logprior, dtype=dtype)
+        cb = jnp.asarray(self.N * self.brakes[0], dtype=dtype)
+        pb = jnp.asarray(self.N * self.brakes[1], dtype=dtype)
+
+        if self._fused is not None:
+            self.state, (logev, dlogev, KL) = self._fused(
+                self.state, sub, self._transitions, logprior, cb, pb,
+                self._per_traj)
+        else:
+            ss, thetas, profiles = amis_propose(
+                self.state, sub, self._transitions, N=self.N, T=self.T)
+            logLs = jnp.asarray(self.model.logL_batch(profiles, self.traj),
+                                dtype=dtype)
+            self.state, (logev, dlogev, KL) = amis_update(
+                self.state, ss, thetas, logLs, self._transitions,
+                logprior, cb, pb,
+            )
         if not bool(self.state.mom_ok):
             raise RuntimeError("CFC method-of-marginals iteration did not converge")
         self.evidences.append((float(logev), float(dlogev), float(KL)))
@@ -352,6 +393,32 @@ class FixedkSampler:
         if (int(self.state.n_steps) + 1) * self.N >= self.max_fev:
             self.exhausted = True
         return True
+
+    # -- reference-API views ------------------------------------------------
+    @property
+    def samples(self):
+        """List of per-step sample dicts (keys ``ss``, ``thetas``, ``logLs``,
+        ``log_weights``), a view of the device buffers in the reference's
+        ``FixedkSampler.samples`` format (``bild/amis.py:586-588``)."""
+        if self._exhaustive is not None:
+            ex = self._exhaustive
+            return [{"ss": ex["ss"], "thetas": ex["thetas"], "logLs": ex["logLs"]}]
+        sc = int(self.state.n_steps)
+        ss = np.asarray(self.state.ss[:sc])
+        th = np.asarray(self.state.thetas[:sc])
+        lls = np.asarray(self.state.logLs[:sc])
+        lws = lls - np.asarray(self.state.logdeltas[:sc]) + (np.log(sc) if sc else 0.0)
+        return [{"ss": ss[i], "thetas": th[i], "logLs": lls[i],
+                 "log_weights": lws[i]} for i in range(sc)]
+
+    @property
+    def parameters(self):
+        """Proposal parameter track ``[(a, logp), ...]`` (reference
+        ``bild/amis.py:593-594``)."""
+        sc = int(self.state.n_steps)
+        a = np.asarray(self.state.a_params[: sc + 1])
+        logp = np.asarray(self.state.logps[: sc + 1])
+        return [(a[i], logp[i]) for i in range(sc + 1)]
 
     # -- results -----------------------------------------------------------
     def tstat(self, other) -> float:

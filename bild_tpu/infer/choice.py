@@ -47,8 +47,13 @@ class ChoiceSampler:
         self.EDmu2 = self.shat / (self.N + 1)
         self.Dmu = np.sqrt(self.EDmu2)
 
-        rng = np.random if rng is None else rng
-        self._scaled_rvs = np.sqrt(self.shat)[None, :] * rng.normal(
+        self._rng = np.random if rng is None else rng
+        self.init_sample()
+
+    def init_sample(self):
+        """(Re)draw the underlying common-random-number sample (reference
+        ``bild/choicesampler.py:99-110``)."""
+        self._scaled_rvs = np.sqrt(self.shat)[None, :] * self._rng.normal(
             size=(self.samplesize, self.kmax))
 
         self.bestk = self.evaluate()

@@ -64,6 +64,22 @@ class MultiStateModel(metaclass=abc.ABCMeta):
             self.logL(Loopingprofile(p), traj) for p in profiles
         ])
 
+    def lockstep_fns_single(self, traj):
+        """
+        ``(per_traj, logL_fn)`` for ONE trajectory, where ``logL_fn(profiles,
+        per_traj)`` is jit-traceable — enables the fused single-dispatch AMIS
+        step. Default: derive from ``lockstep_fns`` on a singleton batch;
+        models without a traceable likelihood simply don't define
+        ``lockstep_fns`` and samplers fall back to the split step.
+        """
+        import jax
+        from ..parallel.batch import TrajectoryBatch
+
+        batch = TrajectoryBatch(data=traj.data[None], valid=traj.valid[None])
+        per_traj, logL_fn = self.lockstep_fns(batch)
+        per_traj = jax.tree_util.tree_map(lambda x: x[0], per_traj)
+        return per_traj, logL_fn
+
     # -- generative-path preprocessing (reference ``bild/models.py:99-160``)
     def _preproc_localization_error(self, localization_error):
         if np.isscalar(localization_error):

@@ -87,16 +87,22 @@ class FactorizedModel(MultiStateModel):
                               axis=1)                                # (B, n, T)
         tables = np.where(np.asarray(batch.valid)[:, None, :], tables, 0.0)
         tables = jnp.asarray(tables, dtype=fdtype())
-        n = len(self.distributions)
 
-        def logL_fn(profiles, per_traj):
-            (table,) = per_traj                                      # (n, T)
-            vals = jnp.zeros(profiles.shape, dtype=table.dtype)
-            for s in range(n):
-                vals = jnp.where(profiles == s, table[s][None, :], vals)
-            return jnp.sum(vals, axis=1)
+        # stable logL_fn (cached on the model) so fused-step jit caches
+        # persist across sampler instances
+        if not hasattr(self, "_lockstep_logL_fn"):
+            n = len(self.distributions)
 
-        return (tables,), logL_fn
+            def logL_fn(profiles, per_traj):
+                (table,) = per_traj                                  # (n, T)
+                vals = jnp.zeros(profiles.shape, dtype=table.dtype)
+                for s in range(n):
+                    vals = jnp.where(profiles == s, table[s][None, :], vals)
+                return jnp.sum(vals, axis=1)
+
+            self._lockstep_logL_fn = logL_fn
+
+        return (tables,), self._lockstep_logL_fn
 
     # -- convenience -------------------------------------------------------
     def initial_loopingprofile(self, traj) -> Loopingprofile:

@@ -166,6 +166,30 @@ class MultiStateRouse(MultiStateModel):
 
         return (batch.data, batch.valid), logL_fn
 
+    def lockstep_fns_single(self, traj):
+        """Fused-step hooks for one trajectory; unlike `lockstep_fns`, the
+        localization error may come from the trajectory itself. The returned
+        ``logL_fn`` is cached per noise configuration so downstream jit
+        caches (the fused AMIS step) stay warm across sampler instances."""
+        err_key = tuple(self._get_noise(traj).tolist())
+        if not hasattr(self, "_single_fns"):
+            self._single_fns = {}
+        if err_key not in self._single_fns:
+            s2, Cind = self._noise_arrays(traj)
+            Bs, Gs, Sigs, M0s, C0s, w = (self.Bs, self.Gs, self.Sigs,
+                                         self.M0s, self.C0s, self.w)
+            use_pallas = (Bs.dtype == jnp.float32
+                          and jax.default_backend() not in ("cpu",))
+
+            def logL_fn(profiles, per_traj):
+                ydata, valid = per_traj
+                fn = msrouse_logL_pallas if use_pallas else msrouse_logL_batch
+                return fn(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
+                          profiles, ydata, valid)
+
+            self._single_fns[err_key] = logL_fn
+        return (traj.data, traj.valid), self._single_fns[err_key]
+
     # -- convenience -------------------------------------------------------
     def initial_loopingprofile(self, traj) -> Loopingprofile:
         return self.toFactorized().initial_loopingprofile(traj)

@@ -28,7 +28,7 @@ import functools
 
 import numpy as np
 
-__all__ = ["MSDfun", "imaging", "msd2C"]
+__all__ = ["MSDfun", "imaging", "msd2C", "msd2C_fun"]
 
 _GL_POINTS = 32
 
@@ -132,3 +132,7 @@ def msd2C(msd_fun, ti, ss_order):
         )
     else:
         raise ValueError(f"ss_order should be 0 or 1; got {ss_order}")
+
+
+# name alias for drop-in parity with ``bayesmsd.gp.msd2C_fun``
+msd2C_fun = msd2C

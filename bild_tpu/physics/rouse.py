@@ -146,14 +146,20 @@ class RouseModel:
         """Dynamics are always precomputed; kept for API parity."""
         return True
 
+    @property
+    def _dynamics(self):
+        """Reference-compatible view of the discrete dynamics (consumed as
+        ``m._dynamics['B'|'G'|'Sig']`` at reference ``MSRouse_logL.pyx:155-157``)."""
+        return {"B": self.B, "G": self.G, "Sig": self.Sig}
+
     def steady_state(self) -> Tuple[jax.Array, jax.Array]:
         """``(M, C)``: steady-state mean ``(N, d)`` and covariance ``(N, N)``."""
         return self.M_ss, self.C_ss
 
-    def propagate_M(self, M: jax.Array) -> jax.Array:
+    def propagate_M(self, M: jax.Array, check_dynamics: bool = False) -> jax.Array:
         return jnp.matmul(self.B, M, precision=MATMUL_PRECISION) + self.G
 
-    def propagate_C(self, C: jax.Array) -> jax.Array:
+    def propagate_C(self, C: jax.Array, check_dynamics: bool = False) -> jax.Array:
         BC = jnp.matmul(self.B, C, precision=MATMUL_PRECISION)
         return jnp.matmul(BC, self.B, precision=MATMUL_PRECISION) + self.Sig
 

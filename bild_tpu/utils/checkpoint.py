@@ -102,7 +102,15 @@ def load_results(path, model) -> SamplingResults:
             if s.k != smeta["k"] or model.nStates != arrays[f"s{i}_logps"].shape[1]:
                 raise ValueError("model/checkpoint mismatch")
             from ..amis.cfc import CFC
+            from ..amis.sampler import _make_fused_step
             import math
+            s._fused = None
+            s._per_traj = None
+            try:
+                s._per_traj, logL_fn = model.lockstep_fns_single(traj)
+                s._fused = _make_fused_step(logL_fn, s.N, s.T)
+            except (AttributeError, ValueError):
+                pass
             s.cfc = CFC(model.transitions)
             s._transitions = jnp.asarray(model.transitions)
             s.n = s.cfc.n
