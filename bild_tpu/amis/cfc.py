@@ -29,12 +29,18 @@ from jax.scipy.special import logsumexp
 
 __all__ = ["CFC", "cfc_sample", "cfc_logpmf", "cfc_estimate"]
 
+# NB: the sampling/evaluation/estimation functions accept an optional
+# ``active`` boolean mask over the K slot axis (padded-k mode): inactive
+# slots are sampled from a uniform unconstrained categorical (their values
+# are never used: the corresponding interval fractions are exactly 0) and
+# contribute nothing to pmf or estimates.
+
 
 # ---------------------------------------------------------------------------
 # Device-side pure functions
 # ---------------------------------------------------------------------------
 
-def cfc_sample(key, logp, transitions, N):
+def cfc_sample(key, logp, transitions, N, active=None):
     """
     Draw ``N`` state traces from CFC(logp); ``(N, k+1)`` int32.
 
@@ -53,18 +59,24 @@ def cfc_sample(key, logp, transitions, N):
     if k1 == 1:
         return th0[:, None].astype(jnp.int32)
 
-    def step(prev, x):
-        ki, logp_i = x
+    def step(carry, x):
+        prev = carry
+        ki, logp_i, act = x
         allowed = transitions[prev]  # (N, n)
         logits = jnp.where(allowed, logp_i[None, :], -jnp.inf)
+        # padded slot: unconstrained uniform (value unused downstream) —
+        # keeps the chain alive even from states with no allowed successor
+        logits = jnp.where(act, logits, 0.0)
         th = jax.random.categorical(ki, logits, axis=-1)
         return th, th
 
-    _, ths = jax.lax.scan(step, th0, (keys[1:], logp[:, 1:].T))
+    act = (jnp.ones(k1 - 1, dtype=bool) if active is None
+           else jnp.asarray(active)[1:])
+    _, ths = jax.lax.scan(step, th0, (keys[1:], logp[:, 1:].T, act))
     return jnp.concatenate([th0[:, None], ths.T], axis=1).astype(jnp.int32)
 
 
-def cfc_logpmf(logp, thetas, transitions):
+def cfc_logpmf(logp, thetas, transitions, active=None):
     """
     Log-pmf of traces ``thetas`` (``(N, k+1)`` int) under CFC(logp) -> (N,).
     Reference ``bild/amis.py:258-281``.
@@ -74,10 +86,14 @@ def cfc_logpmf(logp, thetas, transitions):
     transitions = jnp.asarray(transitions, dtype=bool)
 
     logp_theta = jnp.take_along_axis(logp[None, :, :], thetas[:, None, :], axis=1)[:, 0, :]
+    if active is not None:
+        logp_theta = jnp.where(jnp.asarray(active)[None, :], logp_theta, 0.0)
     if thetas.shape[1] > 1:
         # normalization of each conditional slot: logsumexp over allowed states
         allowed = transitions[thetas[:, :-1]]             # (N, k, n)
         log_norm = logsumexp(logp.T[None, 1:, :], b=allowed, axis=-1)  # (N, k)
+        if active is not None:
+            log_norm = jnp.where(jnp.asarray(active)[None, 1:], log_norm, 0.0)
         log_norm_sum = jnp.sum(log_norm, axis=1)
     else:
         log_norm_sum = 0.0
@@ -122,28 +138,37 @@ def _solve_marginals_single(logf, logg, transitions, maxiter, precision):
     return logp, converged
 
 
-def cfc_logp_from_marginals(log_marginals, transitions, maxiter=1000, precision=1e-2):
+def cfc_logp_from_marginals(log_marginals, transitions, maxiter=1000,
+                            precision=1e-2, active=None):
     """Slot-by-slot conversion of marginals to weights (reference
-    ``bild/amis.py:307-334``). Returns ``(logp, converged)``."""
+    ``bild/amis.py:307-334``). Returns ``(logp, converged)``. Inactive slots
+    (padded-k mode) are skipped: their weights are uniform and they never
+    count against convergence."""
     log_marginals = jnp.asarray(log_marginals)
-    k1 = log_marginals.shape[1]
+    n, k1 = log_marginals.shape
     logp0 = log_marginals[:, 0]
     if k1 == 1:
         return logp0[:, None], jnp.asarray(True)
 
     def scan_step(_, x):
-        logf, logg = x
+        logf, logg, act = x
         logp, conv = _solve_marginals_single(logf, logg, transitions, maxiter, precision)
+        uniform = jnp.full((n,), -jnp.log(float(n)), dtype=logp.dtype)
+        logp = jnp.where(act, logp, uniform)
+        conv = conv | ~act
         return None, (logp, conv)
 
+    act = (jnp.ones(k1 - 1, dtype=bool) if active is None
+           else jnp.asarray(active)[1:])
     _, (logps, convs) = jax.lax.scan(
-        scan_step, None, (log_marginals[:, 1:].T, log_marginals[:, :-1].T)
+        scan_step, None, (log_marginals[:, 1:].T, log_marginals[:, :-1].T, act)
     )
     logp = jnp.concatenate([logp0[:, None], logps.T], axis=1)
     return logp, jnp.all(convs)
 
 
-def cfc_estimate(thetas, log_weights, transitions, n, maxiter=1000, precision=1e-2):
+def cfc_estimate(thetas, log_weights, transitions, n, maxiter=1000,
+                 precision=1e-2, active=None):
     """
     "Method of marginals" (reference ``bild/amis.py:283-305``): weighted
     marginals per slot, then invert to weights. Returns ``(logp, converged)``.
@@ -153,7 +178,14 @@ def cfc_estimate(thetas, log_weights, transitions, n, maxiter=1000, precision=1e
     indicators = thetas[None, :, :] == jnp.arange(n)[:, None, None]  # (n, N, k+1)
     log_marginals = logsumexp(log_weights[None, :, None], b=indicators, axis=1)
     log_marginals = log_marginals - logsumexp(log_marginals, axis=0, keepdims=True)
-    return cfc_logp_from_marginals(log_marginals, transitions, maxiter, precision)
+    if active is not None:
+        # padded slots carry arbitrary thetas: replace their marginals with
+        # uniform so the fixed-point solver sees sane inputs
+        uniform = jnp.full_like(log_marginals, -jnp.log(float(n)))
+        log_marginals = jnp.where(jnp.asarray(active)[None, :],
+                                  log_marginals, uniform)
+    return cfc_logp_from_marginals(log_marginals, transitions, maxiter,
+                                   precision, active=active)
 
 
 # ---------------------------------------------------------------------------

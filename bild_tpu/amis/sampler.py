@@ -47,7 +47,8 @@ import jax.numpy as jnp
 from ..config import fdtype
 from ..profiles import Loopingprofile, st2profile
 from .cfc import CFC, cfc_sample, cfc_logpmf, cfc_estimate
-from .dirichlet import dirichlet_logpdf, dirichlet_estimate
+from .dirichlet import (dirichlet_logpdf, dirichlet_estimate,
+                        dirichlet_sample_masked)
 
 __all__ = ["FixedkSampler", "AmisState"]
 
@@ -85,31 +86,49 @@ class AmisState:
         )
 
 
-def _log_proposal(a, logp, ss, thetas, transitions):
-    """Joint proposal density: Dirichlet(s) x CFC(theta)."""
-    return dirichlet_logpdf(a, ss) + cfc_logpmf(logp, thetas, transitions)
+def _log_proposal(a, logp, ss, thetas, transitions, active=None):
+    """Joint proposal density: Dirichlet(s) x CFC(theta).
+
+    A +inf Dirichlet density (zero coordinate with concentration < 1, the
+    reference's ValueError->inf convention, ``bild/amis.py:104-108``)
+    dominates the sum even when the CFC part is -inf: such points must get
+    zero importance weight, and ``inf + -inf = nan`` would otherwise poison
+    the mixture (a latent edge case in the reference, amplified in float32
+    where the polarization brake can underflow CFC weights to exactly 0).
+    """
+    dlp = dirichlet_logpdf(a, ss, active=active)
+    clp = cfc_logpmf(logp, thetas, transitions, active=active)
+    return jnp.where(jnp.isposinf(dlp), jnp.inf, dlp + clp)
 
 
 @partial(jax.jit, static_argnames=("N", "T"))
-def amis_propose(state: AmisState, key, transitions, *, N: int, T: int):
+def amis_propose(state: AmisState, key, transitions, *, N: int, T: int,
+                 active=None):
     """Draw N (s, theta) pairs from the current proposal; also return the
-    discretized ``(N, T)`` profiles."""
+    discretized ``(N, T)`` profiles. ``active`` (bool ``(K,)``) enables the
+    padded-k mode: one compiled program serves every true k <= K-1, padded
+    slots have interval fraction exactly 0 and never produce a switch."""
     sc = state.n_steps
     a = state.a_params[sc]
     logp = state.logps[sc]
     kd, kc = jax.random.split(key)
-    ss = jax.random.dirichlet(kd, a, shape=(N,), dtype=a.dtype)
-    thetas = cfc_sample(kc, logp, transitions, N)
-    profiles = jax.vmap(lambda s, th: st2profile(s, th, T))(ss, thetas)
+    if active is None:
+        ss = jax.random.dirichlet(kd, a, shape=(N,), dtype=a.dtype)
+    else:
+        ss = dirichlet_sample_masked(kd, a, active, N)
+    thetas = cfc_sample(kc, logp, transitions, N, active=active)
+    profiles = jax.vmap(lambda s, th: st2profile(s, th, T, active=active))(ss, thetas)
     return ss, thetas, profiles
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
 def amis_update(state: AmisState, ss_new, th_new, logL_new, transitions,
-                logprior, conc_brake_N, pol_brake_N, *, maxiter: int = 1000):
+                logprior, conc_brake_N, pol_brake_N, *, maxiter: int = 1000,
+                active=None):
     """
     Ingest one new sample block and run the AMIS ensemble update
     (reference ``bild/amis.py:805-906``). Returns (state', (logev, dlogev, KL)).
+    ``active`` enables the padded-k mode (see `amis_propose`).
     """
     S, N = state.logLs.shape
     k1 = state.ss.shape[-1]
@@ -128,11 +147,12 @@ def amis_update(state: AmisState, ss_new, th_new, logL_new, transitions,
     # current-proposal density for every stored sample (flat over S*N)
     clp = _log_proposal(a_cur, logp_cur,
                         ss.reshape(S * N, k1), thetas.reshape(S * N, k1),
-                        transitions).reshape(S, N)
+                        transitions, active=active).reshape(S, N)
 
     # mixture-delta for the new block: logsumexp over all proposals 0..sc
     def prop_j(a_j, logp_j):
-        return _log_proposal(a_j, logp_j, ss_new, th_new, transitions)
+        return _log_proposal(a_j, logp_j, ss_new, th_new, transitions,
+                             active=active)
 
     all_lp = jax.vmap(prop_j)(state.a_params, state.logps)      # (S+1, N)
     slot_ok = (jnp.arange(S + 1) <= sc)[:, None]
@@ -147,22 +167,41 @@ def amis_update(state: AmisState, ss_new, th_new, logL_new, transitions,
         jnp.where(is_new, jnp.broadcast_to(logdelta_new[None, :], (S, N)),
                   state.logdeltas))
 
-    # weights over the whole (masked) ensemble
+    # weights over the whole (masked) ensemble; a NaN log-weight marks an
+    # inconsistent point (conflicting infinities) -> zero weight
     valid = row <= sc
     log_w = logLs - logdeltas + jnp.log1p(sc.astype(dtype))     # log(sc+1)
-    log_w_masked = jnp.where(valid, log_w, _NEG_INF)
+    log_w_masked = jnp.where(valid & ~jnp.isnan(log_w), log_w, _NEG_INF)
     flat_lw = log_w_masked.reshape(S * N)
 
-    # proposal refit (weighted MoM)
-    new_a = dirichlet_estimate(ss.reshape(S * N, k1), flat_lw)
-    new_logp, mom_conv = cfc_estimate(thetas.reshape(S * N, k1), flat_lw,
-                                      transitions, n, maxiter=maxiter)
+    # proposal refit (weighted MoM); an invalid Dirichlet estimate (negative
+    # or non-finite concentration from an over-dispersed or fully
+    # zero-weighted ensemble — where the reference crashes in scipy) keeps
+    # the previous proposal instead
+    new_a = dirichlet_estimate(ss.reshape(S * N, k1), flat_lw, active=active)
+    act = jnp.ones(k1, dtype=bool) if active is None else active
+    a_invalid = jnp.any(jnp.where(act, ~jnp.isfinite(new_a) | (new_a <= 0),
+                                  False))
+    new_a = jnp.where(a_invalid, a_cur, new_a)
 
-    # concentration brake (reference bild/amis.py:856-859)
-    log_cr = jnp.log(jnp.sum(new_a) / jnp.sum(a_cur))
+    new_logp, mom_conv = cfc_estimate(thetas.reshape(S * N, k1), flat_lw,
+                                      transitions, n, maxiter=maxiter,
+                                      active=active)
+    lp_invalid = jnp.any(jnp.isnan(new_logp))
+    new_logp = jnp.where(lp_invalid, logp_cur, new_logp)
+    mom_conv = mom_conv | lp_invalid  # reverted, not a convergence failure
+
+    # concentration brake (reference bild/amis.py:856-859); sums over active
+    # slots only, so padded-k results match the exact-k program
+    def asum(a):
+        return jnp.sum(a) if active is None else jnp.sum(jnp.where(active, a, 0.0))
+
+    log_cr = jnp.log(asum(new_a) / asum(a_cur))
     over = jnp.abs(log_cr) > conc_brake_N
     new_a = jnp.where(
         over, new_a * jnp.exp(jnp.sign(log_cr) * conc_brake_N - log_cr), new_a)
+    if active is not None:
+        new_a = jnp.where(active, new_a, 1.0)
 
     # polarization brake, per slot (reference bild/amis.py:861-873)
     old_p = jnp.exp(logp_cur)
@@ -172,11 +211,14 @@ def amis_update(state: AmisState, ss_new, th_new, logL_new, transitions,
     safe_mad = jnp.where(mad > 0, mad, 1.0)
     braked = jnp.log(old_p + pol_brake_N * delta / safe_mad)
     new_logp = jnp.where((mad > pol_brake_N)[None, :], braked, new_logp)
+    if active is not None:
+        new_logp = jnp.where(active[None, :], new_logp,
+                             -jnp.log(jnp.asarray(float(n), dtype)))
 
     # evidence, SEM, KL (reference bild/amis.py:876-900)
     cnt = ((sc + 1) * N).astype(dtype)
     max_lw = jnp.max(log_w_masked)
-    w_o = jnp.where(valid, jnp.exp(log_w - max_lw), 0.0)
+    w_o = jnp.exp(log_w_masked - max_lw)
     ev_o = jnp.sum(w_o) / cnt
     logev = jnp.log(ev_o) + max_lw + logprior
     var = jnp.sum(jnp.where(valid, (w_o - ev_o) ** 2, 0.0)) / (cnt - 1)
@@ -213,22 +255,24 @@ def _make_fused_step(logL_fn, N: int, T: int):
         return _FUSED_STEPS[cache_key]
 
     @jax.jit
-    def step(state, key, transitions, logprior, cb, pb, per_traj):
-        ss, th, profiles = amis_propose(state, key, transitions, N=N, T=T)
+    def step(state, key, transitions, logprior, cb, pb, active, per_traj):
+        ss, th, profiles = amis_propose(state, key, transitions, N=N, T=T,
+                                        active=active)
         logLs = logL_fn(profiles, per_traj)
         return amis_update(state, ss, th, logLs.astype(state.logLs.dtype),
-                           transitions, logprior, cb, pb)
+                           transitions, logprior, cb, pb, active=active)
 
     _FUSED_STEPS[cache_key] = step
     return step
 
 
 @partial(jax.jit, static_argnames=("T", "nStates"))
-def _marginal_posterior(ss, thetas, log_weights, *, T: int, nStates: int):
+def _marginal_posterior(ss, thetas, log_weights, *, T: int, nStates: int,
+                        active=None):
     """Weighted state marginals over an ensemble: ``(n, T)`` log-probs."""
     flat_ss = ss.reshape(-1, ss.shape[-1])
     flat_th = thetas.reshape(-1, thetas.shape[-1])
-    profs = jax.vmap(lambda s, th: st2profile(s, th, T))(flat_ss, flat_th)
+    profs = jax.vmap(lambda s, th: st2profile(s, th, T, active=active))(flat_ss, flat_th)
     indic = profs[:, None, :] == jnp.arange(nStates)[None, :, None]
     logpost = jax.scipy.special.logsumexp(
         log_weights.reshape(-1)[:, None, None], b=indic, axis=0)
@@ -252,8 +296,10 @@ class FixedkSampler:
                  polarization_brake=1e-3,
                  max_fev=20000,
                  max_fcomplete=1000,
-                 key=None):
+                 key=None,
+                 k_pad=None):
         self.k = k
+        self.k_pad = k_pad
         self.N = N
         self.brakes = (concentration_brake, polarization_brake)
         self.max_fev = max_fev
@@ -283,11 +329,19 @@ class FixedkSampler:
             sum(math.log(i + 1) for i in range(self.k)) - self.cfc.N_total(self.k, log=True)
         )
 
-        a0 = jnp.ones(self.k + 1, dtype=fdtype())
-        logp0 = self.cfc.logp_uniform(self.k)
+        # padded-k slot count: one compiled program serves every k <= k_pad
+        # (SURVEY.md section 7 padding plan); padded slots carry interval
+        # fraction exactly 0 and are masked out of all proposal math
+        self.K1 = max(self.k, k_pad if k_pad is not None else self.k) + 1
+        self.active = jnp.arange(self.K1) < (self.k + 1)
+
+        dtype = fdtype()
+        a0 = jnp.ones(self.K1, dtype=dtype)
+        logp0 = jnp.full((self.n, self.K1), -np.log(self.n), dtype=dtype)
+        logp0 = logp0.at[:, : self.k + 1].set(self.cfc.logp_uniform(self.k))
 
         self.S = max(1, -(-self.max_fev // self.N) - 1)  # max possible steps
-        self.state = AmisState.create(self.S, self.N, self.k, self.n, a0, logp0)
+        self.state = AmisState.create(self.S, self.N, self.K1 - 1, self.n, a0, logp0)
 
         # fused single-dispatch step when the model likelihood is traceable
         self._fused = None
@@ -300,7 +354,9 @@ class FixedkSampler:
 
         try:
             self.fix_exhaustive()
-        except FixedkSampler.ExhaustionImpractical:
+        except ValueError:
+            # ExhaustionImpractical, or full_sample refusing (the latter is a
+            # latent crash in the reference when max_fcomplete < nStates)
             pass
 
     # -- parameter conversion (host convenience) ---------------------------
@@ -376,15 +432,16 @@ class FixedkSampler:
         if self._fused is not None:
             self.state, (logev, dlogev, KL) = self._fused(
                 self.state, sub, self._transitions, logprior, cb, pb,
-                self._per_traj)
+                self.active, self._per_traj)
         else:
             ss, thetas, profiles = amis_propose(
-                self.state, sub, self._transitions, N=self.N, T=self.T)
+                self.state, sub, self._transitions, N=self.N, T=self.T,
+                active=self.active)
             logLs = jnp.asarray(self.model.logL_batch(profiles, self.traj),
                                 dtype=dtype)
             self.state, (logev, dlogev, KL) = amis_update(
                 self.state, ss, thetas, logLs, self._transitions,
-                logprior, cb, pb,
+                logprior, cb, pb, active=self.active,
             )
         if not bool(self.state.mom_ok):
             raise RuntimeError("CFC method-of-marginals iteration did not converge")
@@ -433,8 +490,8 @@ class FixedkSampler:
             ex = self._exhaustive
             return ex["ss"], ex["thetas"], ex["logLs"]
         sc = int(self.state.n_steps)
-        ss = np.asarray(self.state.ss[:sc]).reshape(-1, self.k + 1)
-        th = np.asarray(self.state.thetas[:sc]).reshape(-1, self.k + 1)
+        ss = np.asarray(self.state.ss[:sc]).reshape(-1, self.K1)
+        th = np.asarray(self.state.thetas[:sc]).reshape(-1, self.K1)
         lw = (np.asarray(self.state.logLs[:sc])
               - np.asarray(self.state.logdeltas[:sc]) + np.log(sc)).reshape(-1)
         return ss, th, lw
@@ -448,14 +505,18 @@ class FixedkSampler:
         sc = int(self.state.n_steps)
         logLs = np.asarray(self.state.logLs[:sc])
         step_i, samp_i = np.unravel_index(np.argmax(logLs), logLs.shape)
-        return self.st2profile(np.asarray(self.state.ss[step_i, samp_i]),
-                               np.asarray(self.state.thetas[step_i, samp_i]))
+        # slice away padded slots (their interval fractions are 0)
+        k1 = self.k + 1
+        return self.st2profile(
+            np.asarray(self.state.ss[step_i, samp_i])[:k1],
+            np.asarray(self.state.thetas[step_i, samp_i])[:k1])
 
     def log_marginal_posterior(self) -> np.ndarray:
         """``(n, T)`` normalized log marginal posterior (reference
         ``bild/amis.py:942-972``)."""
         ss, th, lw = self._ensemble()
+        active = None if self._exhaustive is not None else self.active
         return np.asarray(_marginal_posterior(
             jnp.asarray(ss, dtype=fdtype()), jnp.asarray(th, dtype=jnp.int32),
             jnp.asarray(lw, dtype=fdtype()),
-            T=self.T, nStates=self.model.nStates))
+            T=self.T, nStates=self.model.nStates, active=active))

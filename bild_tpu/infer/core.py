@@ -111,6 +111,11 @@ def sample(traj, model,
         memory["fresh sample"] = False
         return k_next
 
+    # pad every sampler's parameter arrays to k_max slots: ONE compiled
+    # AMIS step then serves all k (compile time dominates on remote TPUs)
+    sampler_kw = dict(sampler_kw)
+    sampler_kw.setdefault("k_pad", k_max)
+
     def add_sampler(k):
         nonlocal key
         assert k == len(samplers)

@@ -151,20 +151,30 @@ class BatchResults:
         return self.marginals[bk, np.arange(len(bk))]
 
 
-def _make_k_runner(k, T, n, N, S, steps, transitions, a0, logp0, logprior,
-                   conc_brake_N, pol_brake_N, logL_fn, marginals):
-    """One-trajectory program running ``steps`` AMIS iterations at fixed k."""
+# lockstep runners are cached by (logL_fn identity, shape config): with
+# padded-k parameter arrays, ONE compiled program serves every k <= k_max
+# (per-k XLA compiles dominated dataset wall time on remote TPUs)
+_LOCKSTEP_RUNNERS = {}
 
-    def run_one(per_traj, key):
-        state = AmisState.create(S, N, k, n, a0, logp0)
+
+def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals):
+    cache_key = (logL_fn, T, n, N, S, steps, K1, marginals)
+    if cache_key in _LOCKSTEP_RUNNERS:
+        return _LOCKSTEP_RUNNERS[cache_key]
+
+    def run_one(per_traj, key, transitions, a0, logp0, active, logprior,
+                conc_brake_N, pol_brake_N):
+        state = AmisState.create(S, N, K1 - 1, n, a0, logp0)
 
         def body(_, carry):
             state, key = carry
             key, sub = jax.random.split(key)
-            ss, th, profiles = amis_propose(state, sub, transitions, N=N, T=T)
+            ss, th, profiles = amis_propose(state, sub, transitions, N=N, T=T,
+                                            active=active)
             logLs = logL_fn(profiles, per_traj)
             state, _ = amis_update(state, ss, th, logLs, transitions,
-                                   logprior, conc_brake_N, pol_brake_N)
+                                   logprior, conc_brake_N, pol_brake_N,
+                                   active=active)
             return state, key
 
         state, _ = jax.lax.fori_loop(0, steps, body, (state, key))
@@ -173,21 +183,24 @@ def _make_k_runner(k, T, n, N, S, steps, transitions, a0, logp0, logprior,
         ev = state.evidences[steps - 1]                      # (3,)
         flat_logLs = state.logLs[:steps].reshape(-1)
         idx = jnp.argmax(flat_logLs)
-        ss_best = state.ss[:steps].reshape(-1, k + 1)[idx]
-        th_best = state.thetas[:steps].reshape(-1, k + 1)[idx]
-        map_prof = st2profile(ss_best, th_best, T)
+        ss_best = state.ss[:steps].reshape(-1, K1)[idx]
+        th_best = state.thetas[:steps].reshape(-1, K1)[idx]
+        map_prof = st2profile(ss_best, th_best, T, active=active)
 
         if marginals:
             log_w = (state.logLs[:steps] - state.logdeltas[:steps]
                      + jnp.log(float(steps)))
             logpost = _marginal_posterior(
                 state.ss[:steps], state.thetas[:steps], log_w,
-                T=T, nStates=n)                              # (n, T)
+                T=T, nStates=n, active=active)               # (n, T)
         else:
             logpost = jnp.zeros((0, 0), dtype=ev.dtype)
         return ev, map_prof, logpost
 
-    return run_one
+    runner = jax.jit(jax.vmap(
+        run_one, in_axes=(0, 0, None, None, None, None, None, None, None)))
+    _LOCKSTEP_RUNNERS[cache_key] = runner
+    return runner
 
 
 def sample_batch(model, batch: TrajectoryBatch,
@@ -227,6 +240,12 @@ def sample_batch(model, batch: TrajectoryBatch,
     n = cfc.n
     dtype = fdtype()
 
+    K1 = min(k_max, max(T - 1, 0)) + 1     # padded slot count
+    runner = _get_lockstep_runner(logL_fn, T, n, N, steps_per_k, steps_per_k,
+                                  K1, marginals)
+    cb = jnp.asarray(N * concentration_brake, dtype=dtype)
+    pb = jnp.asarray(N * polarization_brake, dtype=dtype)
+
     evs, maps, margs = [], [], []
     for k in range(k_max + 1):
         if k >= T:
@@ -235,21 +254,18 @@ def sample_batch(model, batch: TrajectoryBatch,
             margs.append(np.full((B, n, T), -np.inf))
             continue
 
-        a0 = jnp.ones(k + 1, dtype=dtype)
-        logp0 = cfc.logp_uniform(k)
+        a0 = jnp.ones(K1, dtype=dtype)
+        logp0 = jnp.full((n, K1), -math.log(n), dtype=dtype)
+        logp0 = logp0.at[:, : k + 1].set(cfc.logp_uniform(k))
+        active = jnp.arange(K1) < (k + 1)
         logprior = jnp.asarray(
             sum(math.log(i + 1) for i in range(k)) - cfc.N_total(k, log=True),
             dtype=dtype)
 
-        run_one = _make_k_runner(
-            k, T, n, N, steps_per_k, steps_per_k, transitions, a0, logp0,
-            logprior, jnp.asarray(N * concentration_brake, dtype=dtype),
-            jnp.asarray(N * polarization_brake, dtype=dtype), logL_fn,
-            marginals)
-
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, B)
-        ev_k, map_k, marg_k = jax.jit(jax.vmap(run_one))(per_traj, keys)
+        ev_k, map_k, marg_k = runner(per_traj, keys, transitions, a0, logp0,
+                                     active, logprior, cb, pb)
         evs.append(np.asarray(ev_k))
         maps.append(np.asarray(map_k))
         if marginals:

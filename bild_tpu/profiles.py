@@ -126,7 +126,7 @@ def count_switches(states: jax.Array) -> jax.Array:
     return jnp.count_nonzero(states[1:] != states[:-1])
 
 
-def st2profile(s: jax.Array, theta: jax.Array, T: int) -> jax.Array:
+def st2profile(s: jax.Array, theta: jax.Array, T: int, active=None) -> jax.Array:
     """
     Convert continuous parameters ``(s, θ)`` to a discrete ``(T,)`` profile.
 
@@ -140,6 +140,11 @@ def st2profile(s: jax.Array, theta: jax.Array, T: int) -> jax.Array:
     Fully vectorized (no per-switch loop): frame ``t`` takes
     ``θ[#switch positions <= t - 1]``, i.e. a counting comparison instead of
     sequential interval filling. vmap over leading axes of (s, θ) for batches.
+
+    ``active`` (optional bool mask over slots, padded-k mode) hard-disables
+    the switches INTO padded slots. This matters because the cumulative
+    position at the end of the active slots is 1 only up to float round-off;
+    ``1 - eps`` would otherwise floor to a spurious switch at the last frame.
     """
     theta = jnp.asarray(theta)
     s = jnp.asarray(s)
@@ -150,5 +155,8 @@ def st2profile(s: jax.Array, theta: jax.Array, T: int) -> jax.Array:
     switches = jnp.floor(switchpos * (T - 1)).astype(jnp.int32) + 1  # (k,)
     t_idx = jnp.arange(T, dtype=jnp.int32)
     # interval index at frame t = number of switches with switch <= t
-    iv_idx = jnp.sum(switches[None, :] <= t_idx[:, None], axis=1)
+    counts = switches[None, :] <= t_idx[:, None]
+    if active is not None:
+        counts = counts & jnp.asarray(active)[None, 1:]
+    iv_idx = jnp.sum(counts, axis=1)
     return theta[iv_idx]

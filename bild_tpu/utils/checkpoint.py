@@ -118,6 +118,9 @@ def load_results(path, model) -> SamplingResults:
                 sum(math.log(j + 1) for j in range(s.k))
                 - s.cfc.N_total(s.k, log=True))
             s.S = arrays[f"s{i}_logLs"].shape[0]
+            s.K1 = arrays[f"s{i}_ss"].shape[-1]
+            s.k_pad = s.K1 - 1
+            s.active = jnp.arange(s.K1) < (s.k + 1)
             s.key = jax.random.wrap_key_data(arrays[f"s{i}_key"])
             fields = {}
             for f in _STATE_FIELDS:
