@@ -149,22 +149,26 @@ class MultiStateRouse(MultiStateModel):
         pytree with leading batch axis and ``logL_fn(profiles, per_traj)`` is
         a traceable single-trajectory batched likelihood (vmapped by the
         runner). Requires model-level ``localization_error`` (a shared noise
-        model across the dataset).
+        model across the dataset). The closure is cached on the model so
+        runner jit caches stay warm across `sample_batch` calls.
         """
         if self.localization_error is None:
             raise ValueError("lockstep batch mode needs model.localization_error")
-        unique, Cind = np.unique(self.localization_error, return_inverse=True)
-        s2 = jnp.asarray(unique**2, dtype=fdtype())
-        Cind = jnp.asarray(Cind.astype(np.int32))
-        Bs, Gs, Sigs, M0s, C0s, w = (self.Bs, self.Gs, self.Sigs,
-                                     self.M0s, self.C0s, self.w)
+        if not hasattr(self, "_lockstep_logL_fn"):
+            unique, Cind = np.unique(self.localization_error, return_inverse=True)
+            s2 = jnp.asarray(unique**2, dtype=fdtype())
+            Cind = jnp.asarray(Cind.astype(np.int32))
+            Bs, Gs, Sigs, M0s, C0s, w = (self.Bs, self.Gs, self.Sigs,
+                                         self.M0s, self.C0s, self.w)
 
-        def logL_fn(profiles, per_traj):
-            ydata, valid = per_traj
-            return msrouse_logL_batch(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
-                                      profiles, ydata, valid)
+            def logL_fn(profiles, per_traj):
+                ydata, valid = per_traj
+                return msrouse_logL_batch(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
+                                          profiles, ydata, valid)
 
-        return (batch.data, batch.valid), logL_fn
+            self._lockstep_logL_fn = logL_fn
+
+        return (batch.data, batch.valid), self._lockstep_logL_fn
 
     def lockstep_fns_single(self, traj):
         """Fused-step hooks for one trajectory; unlike `lockstep_fns`, the
