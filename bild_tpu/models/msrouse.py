@@ -249,6 +249,59 @@ class MultiStateRouse(MultiStateModel):
                                  localization_error=localization_error,
                                  loopingprofile=profile)
 
+    def trajectories_from_loopingprofiles(self, profiles, localization_error=None,
+                                          key=None):
+        """
+        Batched generative model: sample one trajectory per row of the
+        ``(B, T)`` int profile array in a single vmapped scan (one device
+        dispatch instead of B; the per-trajectory `trajectory_from_loopingprofile`
+        costs a dispatch round-trip each). Returns a
+        `bild_tpu.parallel.TrajectoryBatch`.
+        """
+        from ..parallel.batch import TrajectoryBatch
+
+        if localization_error is None:
+            if self.localization_error is None:
+                raise ValueError("Need localization_error or model.localization_error")
+            localization_error = self.localization_error
+        localization_error = self._preproc_localization_error(localization_error)
+
+        profiles = jnp.asarray(np.asarray(profiles, dtype=int), dtype=jnp.int32)
+        B, T = profiles.shape
+        if key is None:
+            key = jax.random.key(np.random.randint(2**31))
+
+        Bs, Gs, L_sigs, w = self.Bs, self.Gs, self.L_sigs, self.w
+        L_sss = jnp.stack([m.L_ss for m in self.models])
+        M_sss = self.M0s
+        err = jnp.asarray(localization_error, dtype=fdtype())
+
+        def gen_one(profile, key):
+            k0, k_scan, k_noise = jax.random.split(key, 3)
+            eta0 = jax.random.normal(k0, (Bs.shape[1], self.d), dtype=fdtype())
+            conf0 = (M_sss[profile[0]]
+                     + jnp.matmul(L_sss[profile[0]], eta0,
+                                  precision=MATMUL_PRECISION))
+            etas = jax.random.normal(k_scan, (T - 1,) + conf0.shape,
+                                     dtype=conf0.dtype)
+
+            def step(conf, x):
+                st, eta = x
+                conf = (jnp.matmul(Bs[st], conf, precision=MATMUL_PRECISION)
+                        + Gs[st]
+                        + jnp.matmul(L_sigs[st], eta, precision=MATMUL_PRECISION))
+                return conf, jnp.matmul(w, conf, precision=MATMUL_PRECISION)
+
+            _, meas = jax.lax.scan(step, conf0, (profile[1:], etas))
+            data = jnp.concatenate(
+                [jnp.matmul(w, conf0, precision=MATMUL_PRECISION)[None], meas])
+            noise = jax.random.normal(k_noise, data.shape, dtype=data.dtype)
+            return data + err[None, :] * noise
+
+        keys = jax.random.split(key, B)
+        data = jax.jit(jax.vmap(gen_one))(profiles, keys)
+        return TrajectoryBatch(data=data, valid=jnp.ones((B, T), dtype=bool))
+
     def toFactorized(self):
         """
         Time-scale-separated approximation: per-state Maxwell distributions

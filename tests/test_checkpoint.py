@@ -35,3 +35,19 @@ def test_roundtrip(tmp_path):
             break
     else:
         raise AssertionError("expected at least one non-exhausted sampler")
+
+
+def test_strict_numerics_context():
+    import jax
+    import jax.numpy as jnp
+    from bild_tpu.utils import strict_numerics
+
+    f = jax.jit(jnp.log)
+    with strict_numerics():
+        try:
+            f(jnp.asarray(-1.0)).block_until_ready()
+            raise AssertionError("expected FloatingPointError")
+        except FloatingPointError:
+            pass
+    # flag restored: NaN flows silently again
+    assert bool(jnp.isnan(f(jnp.asarray(-1.0))))

@@ -133,3 +133,19 @@ def test_make_trajectory_dataframe():
     traj2 = make_trajectory(df2)
     assert len(traj2) == 3
     assert traj2.count_valid_frames() == 2
+
+
+def test_batched_generation_matches_single_statistics(rng):
+    import jax
+    import jax.numpy as jnp
+    model = MultiStateRouse(10, 1, 5, d=2, localization_error=0.1)
+    profiles = np.zeros((64, 30), dtype=int)
+    profiles[::2, 10:20] = 1
+    batch = model.trajectories_from_loopingprofiles(profiles, key=jax.random.key(0))
+    assert batch.data.shape == (64, 30, 2)
+    assert bool(jnp.all(batch.valid))
+    # looped segments have smaller end-to-end distances on average
+    mags = np.linalg.norm(np.asarray(batch.data), axis=-1)
+    looped = mags[::2, 12:20].mean()
+    free = mags[1::2, 12:20].mean()
+    assert looped < free
