@@ -443,7 +443,11 @@ class FixedkSampler:
                 self.state, ss, thetas, logLs, self._transitions,
                 logprior, cb, pb, active=self.active,
             )
-        if not bool(self.state.mom_ok):
+        # one host round trip for all step outputs (4 separate scalar
+        # fetches would each pay remote-device latency)
+        logev, dlogev, KL, mom_ok = jax.device_get(
+            (logev, dlogev, KL, self.state.mom_ok))
+        if not mom_ok:
             raise RuntimeError("CFC method-of-marginals iteration did not converge")
         self.evidences.append((float(logev), float(dlogev), float(KL)))
 
