@@ -113,28 +113,39 @@ def _kernel(Bs_ref, Gs_ref, Sigs_ref, M0s_ref, C0s_ref, w_ref, s2_ref,
     def _():
         kalman_update(0)
 
+    # all states' propagators stacked: per-state candidates come out of ONE
+    # (n*N, N) x (N, N*P) GEMM instead of n separate ones (measured ~10%
+    # end-to-end: fewer MXU invocations and select passes)
+    Ball = jnp.concatenate([Bs_ref[s] for s in range(n)], axis=0)  # (n*N, N)
+
     # ---- frame loop ------------------------------------------------------
     def body(t, _):
         masks = masks_for(t)
 
+        def select_stack(Y):
+            """(n*N, x, P) stacked per-state candidates -> per-profile pick."""
+            out = Y[0:N] * bcast_NP(masks[0])
+            for s in range(1, n):
+                out = out + Y[s * N:(s + 1) * N] * bcast_NP(masks[s])
+            return out
+
         # covariance: C' = B (B C)^T + Sig, per unique-error slot
         for qi in range(q):
             C = C_scr[qi]                                     # (N, N, P)
-            X = jnp.zeros((N, N, P_TILE), fdt)
-            for s in range(n):
-                BC = jax.lax.dot_general(
-                    Bs_ref[s], C, (((1,), (0,)), ((), ())),
-                    preferred_element_type=fdt,
-                    precision=_KERNEL_PRECISION)              # (N, N, P)
-                X = X + BC * bcast_NP(masks[s])
+            BC_all = jax.lax.dot_general(
+                Ball, C, (((1,), (0,)), ((), ())),
+                preferred_element_type=fdt,
+                precision=_KERNEL_PRECISION)                  # (n*N, N, P)
+            X = select_stack(BC_all)
             Xt = jnp.transpose(X, (1, 0, 2))
-            Cp = jnp.zeros((N, N, P_TILE), fdt)
-            for s in range(n):
-                BXt = jax.lax.dot_general(
-                    Bs_ref[s], Xt, (((1,), (0,)), ((), ())),
-                    preferred_element_type=fdt,
-                    precision=_KERNEL_PRECISION)
-                Cp = Cp + (BXt + Sigs_ref[s][:, :, None]) * bcast_NP(masks[s])
+            BXt_all = jax.lax.dot_general(
+                Ball, Xt, (((1,), (0,)), ((), ())),
+                preferred_element_type=fdt,
+                precision=_KERNEL_PRECISION)
+            Cp = (BXt_all[0:N] + Sigs_ref[0][:, :, None]) * bcast_NP(masks[0])
+            for s in range(1, n):
+                Cp = Cp + ((BXt_all[s * N:(s + 1) * N] + Sigs_ref[s][:, :, None])
+                           * bcast_NP(masks[s]))
             C_scr[qi] = Cp
 
         # mean: M' = B M + G
