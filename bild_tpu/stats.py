@@ -16,44 +16,50 @@ __all__ = ["KM_survival", "MLE_censored_exponential"]
 def KM_survival(data, censored, conf=0.95, Tmax=np.inf, S1at=0):
     """
     Kaplan-Meier survival estimator with Greenwood log-log confidence bands
-    (reference ``bild/stats.py:7-65``).
+    (reference ``bild/stats.py:7-65``), fully vectorized: event/at-risk
+    counts via searchsorted on the sorted sample, survival via cumprod,
+    Greenwood variance via cumsum.
 
-    Returns ``(T, 4)`` array with columns ``t, S(t), lower(t), upper(t)``.
+    Returns ``(T, 4)`` array with columns ``t, S(t), lower(t), upper(t)``
+    (column convention matches the reference: with ``z < 0`` column 2 is the
+    numerically-upper band).
     """
-    data = np.asarray(data)
+    data = np.asarray(data, dtype=float)
     censored = np.asarray(censored).astype(bool)
 
-    t = np.unique(data[~censored])
-    t = t[t <= Tmax]
-    S = np.zeros(len(t) + 1)
-    S[0] = 1
-    V = np.zeros(len(t) + 1)
-    Vsum = 0.0
-    for n, curt in enumerate(t, start=1):
-        d_n = np.count_nonzero(data[~censored] == curt)
-        N_n = np.count_nonzero(data >= curt)
+    event_times = np.unique(data[~censored])
+    event_times = event_times[event_times <= Tmax]
 
-        S[n] = S[n - 1] * (1 - d_n / N_n)
-        if N_n > d_n:
-            Vsum += d_n / (N_n * (N_n - d_n))
-            V[n] = np.log(S[n]) ** (-2) * Vsum
-        else:
-            Vsum = np.inf
-            V[n] = 0
+    # events at each time / individuals still at risk, all vectorized
+    sorted_events = np.sort(data[~censored])
+    sorted_all = np.sort(data)
+    d = (np.searchsorted(sorted_events, event_times, side="right")
+         - np.searchsorted(sorted_events, event_times, side="left"))
+    n_at_risk = len(sorted_all) - np.searchsorted(sorted_all, event_times, side="left")
 
-    z = stats.norm().ppf((1 - conf) / 2)
-    with np.errstate(over="ignore", invalid="ignore"):
-        lower = S ** (np.exp(z * np.sqrt(V)))
-        upper = S ** (np.exp(-z * np.sqrt(V)))
+    frac = 1.0 - d / n_at_risk
+    S = np.concatenate([[1.0], np.cumprod(frac)])
+
+    # Greenwood variance of log(-log S); saturated steps (all at-risk die)
+    # poison the running sum from that point on, matching the sequential
+    # reference semantics
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(n_at_risk > d, d / (n_at_risk * (n_at_risk - d)), np.inf)
+        greenwood = np.cumsum(terms)
+        V = np.concatenate([[0.0], np.log(S[1:]) ** (-2) * greenwood])
+        V[~np.isfinite(V)] = 0.0
+
+        z = stats.norm().ppf((1 - conf) / 2)
+        band_lo = S ** (np.exp(z * np.sqrt(V)))
+        band_hi = S ** (np.exp(-z * np.sqrt(V)))
 
     if S1at is not None:
-        t = np.insert(t, 0, S1at)
+        t_out = np.concatenate([[S1at], event_times])
     else:
-        S = S[1:]
-        lower = lower[1:]
-        upper = upper[1:]
+        t_out = event_times
+        S, band_lo, band_hi = S[1:], band_lo[1:], band_hi[1:]
 
-    return np.stack([t, S, lower, upper], axis=-1)
+    return np.stack([t_out, S, band_lo, band_hi], axis=-1)
 
 
 def MLE_censored_exponential(data, censored, conf=0.95):
