@@ -404,11 +404,12 @@ class FixedkSampler:
 
         # exact evidence: mean over the uniform prior ensemble
         max_logL = np.max(logLs)
-        weights_o = np.exp(logLs - max_logL)
-        ev_o = np.mean(weights_o)
-        logev = float(np.log(ev_o) + max_logL)
-        dlogev = 1e-10
-        KL = float(np.mean(logLs * weights_o) / ev_o - logev)
+        with np.errstate(under="ignore"):
+            weights_o = np.exp(logLs - max_logL)
+            ev_o = np.mean(weights_o)
+            logev = float(np.log(ev_o) + max_logL)
+            dlogev = 1e-10
+            KL = float(np.mean(logLs * weights_o) / ev_o - logev)
 
         self._exhaustive = {
             "ss": ss, "thetas": thetas,

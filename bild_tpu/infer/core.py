@@ -220,13 +220,14 @@ class SamplingResults:
         weighted by evidence (reference ``bild/core.py:345-372``).
         """
         if isinstance(dE, str) and dE == "average":
-            logpost = logsumexp(
-                [s.log_marginal_posterior() + logev
-                 for s, logev in zip(self.samplers, self.evidence)
-                 if s.evidences[-1][0] > -np.inf],
-                axis=0,
-            )
-            return logpost - logsumexp(logpost, axis=0)
+            with np.errstate(under="ignore"):
+                logpost = logsumexp(
+                    [s.log_marginal_posterior() + logev
+                     for s, logev in zip(self.samplers, self.evidence)
+                     if s.evidences[-1][0] > -np.inf],
+                    axis=0,
+                )
+                return logpost - logsumexp(logpost, axis=0)
         if dE is None:
             dE = self.dE
         return self.samplers[self.best_k(dE)].log_marginal_posterior()

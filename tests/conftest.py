@@ -21,6 +21,12 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# strict-FP discipline for all host-side numpy code, mirroring the
+# reference's test posture (reference tests/test_bild.py:10): any unguarded
+# overflow/underflow/invalid in library numpy code fails the test. Library
+# code uses targeted np.errstate guards where infinities are intentional.
+np.seterr(all="raise")
+
 
 @pytest.fixture
 def rng():

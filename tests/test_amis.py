@@ -3,7 +3,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from scipy import stats
-from scipy.special import logsumexp
+from scipy.special import logsumexp as _lse
+
+
+def logsumexp(*args, **kwargs):
+    import numpy as _np
+    with _np.errstate(under="ignore"):
+        return _lse(*args, **kwargs)
 
 import bild_tpu as bild
 from bild_tpu.amis import Dirichlet, CFC, FixedkSampler

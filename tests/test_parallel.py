@@ -64,15 +64,17 @@ def test_sample_batch_sharded_over_mesh():
 
 def test_sample_batch_marginals():
     from scipy.special import logsumexp
+
     model, trajs, true_ks = _factorized_batch(B=4)
     batch = stack_trajectories(trajs)
     res = sample_batch(model, batch, k_max=2, steps_per_k=8, N=30,
                        key=jax.random.key(3), marginals=True)
     for dE in (None, 2, "average"):
-        logpost = res.log_marginal_posterior(dE=dE)  # (B, n, T)
-        assert logpost.shape == (4, 2, 8)
-        np.testing.assert_array_almost_equal(
-            logsumexp(logpost, axis=1), np.zeros((4, 8)), decimal=6)
+        with np.errstate(under="ignore"):
+            logpost = res.log_marginal_posterior(dE=dE)  # (B, n, T)
+            assert logpost.shape == (4, 2, 8)
+            np.testing.assert_array_almost_equal(
+                logsumexp(logpost, axis=1), np.zeros((4, 8)), decimal=6)
 
 
 def test_sample_batch_rouse():
