@@ -157,14 +157,22 @@ class MultiStateRouse(MultiStateModel):
         if not hasattr(self, "_lockstep_logL_fn"):
             unique, Cind = np.unique(self.localization_error, return_inverse=True)
             s2 = jnp.asarray(unique**2, dtype=fdtype())
-            Cind = jnp.asarray(Cind.astype(np.int32))
+            Cind_np = Cind.astype(np.int32)
+            Cind_dev = jnp.asarray(Cind_np)
             Bs, Gs, Sigs, M0s, C0s, w = (self.Bs, self.Gs, self.Sigs,
                                          self.M0s, self.C0s, self.w)
 
             def logL_fn(profiles, per_traj):
                 ydata, valid = per_traj
-                return msrouse_logL_batch(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
-                                          profiles, ydata, valid)
+                # Pallas when the proposal count fills whole 128-lane tiles
+                # (e.g. sample_batch's default N=128); XLA scan otherwise
+                if (profiles.shape[0] % 128 == 0
+                        and Bs.dtype == jnp.float32
+                        and jax.default_backend() not in ("cpu",)):
+                    return msrouse_logL_pallas(Bs, Gs, Sigs, M0s, C0s, w, s2,
+                                               Cind_np, profiles, ydata, valid)
+                return msrouse_logL_batch(Bs, Gs, Sigs, M0s, C0s, w, s2,
+                                          Cind_dev, profiles, ydata, valid)
 
             self._lockstep_logL_fn = logL_fn
 

@@ -206,7 +206,7 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals):
 def sample_batch(model, batch: TrajectoryBatch,
                  k_max=10,
                  steps_per_k=20,
-                 N=100,
+                 N=128,
                  dE=0.0,
                  concentration_brake=1e-2,
                  polarization_brake=1e-3,
@@ -222,7 +222,8 @@ def sample_batch(model, batch: TrajectoryBatch,
     batch : TrajectoryBatch
     k_max, steps_per_k, N : schedule — every k gets ``steps_per_k`` AMIS
         steps of ``N`` proposals (likelihood budget per trajectory:
-        ``(k_max+1) * steps_per_k * N``)
+        ``(k_max+1) * steps_per_k * N``). The default N=128 fills whole
+        128-lane tiles so the Rouse likelihood runs in the Pallas kernel.
     mesh : optional `jax.sharding.Mesh` with a ``data`` axis; the batch is
         sharded over it (data parallelism over trajectories).
     """
