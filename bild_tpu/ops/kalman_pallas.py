@@ -209,8 +209,11 @@ def _pallas_call(Bs, Gs, Sigs, M0s, C0s, w, s2, profiles, ydata, valid,
             pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, q), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((T, P_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, d), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            # observations/mask live in VMEM (scalar reads per step): SMEM is
+            # ~1 MB and overflows at long T, especially under vmap where the
+            # batch dim multiplies the block
+            pl.BlockSpec((T, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, P_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, P), fdt),
