@@ -86,6 +86,26 @@ class AmisState:
         )
 
 
+def informed_proposal(fracs, theta, n, T):
+    """
+    Proposal parameters concentrated around a segmentation guess:
+    Dirichlet mean = the guessed interval fractions at total concentration
+    ``(k+1) * max(2, sqrt(T))`` — switch-position spread must shrink with
+    trajectory length or the seed is useless at long T (measured: T=1000
+    frame accuracy 0.91 at concentration ~8 vs 0.97 at ~130). CFC slots go
+    80/20 toward the guessed states. Shared by the adaptive and lockstep
+    informed-init paths.
+    """
+    fracs = np.asarray(fracs, dtype=float)
+    theta = np.asarray(theta, dtype=int)
+    k1 = len(fracs)
+    conc = k1 * max(2.0, float(np.sqrt(T)))
+    a = np.maximum(conc * fracs, 0.05)
+    p = np.full((n, k1), 0.2 / max(n - 1, 1))
+    p[theta, np.arange(k1)] = 0.8
+    return a, np.log(p)
+
+
 def _log_proposal(a, logp, ss, thetas, transitions, active=None):
     """Joint proposal density: Dirichlet(s) x CFC(theta).
 
@@ -297,9 +317,11 @@ class FixedkSampler:
                  max_fev=20000,
                  max_fcomplete=1000,
                  key=None,
-                 k_pad=None):
+                 k_pad=None,
+                 informed_init=False):
         self.k = k
         self.k_pad = k_pad
+        self.informed_init = informed_init
         self.N = N
         self.brakes = (concentration_brake, polarization_brake)
         self.max_fev = max_fev
@@ -340,7 +362,28 @@ class FixedkSampler:
         logp0 = jnp.full((self.n, self.K1), -np.log(self.n), dtype=dtype)
         logp0 = logp0.at[:, : self.k + 1].set(self.cfc.logp_uniform(self.k))
 
+        # informed initialization: the DP segmentation of the model's
+        # frame-factorized scores becomes the SECOND mixture component (the
+        # first stays uniform): at long T the uniform proposal rarely finds
+        # fine-grained switch positions, but a sharp seed from a BAD guess
+        # must not strand the sampler — the deterministic mixture hedges the
+        # two automatically (measured: seeding the first component instead
+        # collapsed evidence by ~160 nats on weak-signal trajectories).
+        self._informed = None
+        if informed_init:
+            guess = model.segment_guess(traj, k)
+            if guess is not None:
+                fracs, theta = guess
+                a_inf, logp_inf = informed_proposal(fracs, theta, self.n, self.T)
+                a_full = np.ones(self.K1)
+                a_full[: self.k + 1] = a_inf
+                logp_full = np.full((self.n, self.K1), -np.log(self.n))
+                logp_full[:, : self.k + 1] = logp_inf
+                self._informed = (jnp.asarray(a_full, dtype=dtype),
+                                  jnp.asarray(logp_full, dtype=dtype))
+
         self.S = max(1, -(-self.max_fev // self.N) - 1)  # max possible steps
+        self._steps_done = 0
         self.state = AmisState.create(self.S, self.N, self.K1 - 1, self.n, a0, logp0)
 
         # fused single-dispatch step when the model likelihood is traceable
@@ -444,6 +487,15 @@ class FixedkSampler:
                 self.state, ss, thetas, logLs, self._transitions,
                 logprior, cb, pb, active=self.active,
             )
+        # inject the informed proposal as the second mixture component
+        self._steps_done += 1
+        if self._informed is not None and self._steps_done == 1:
+            a_inf, logp_inf = self._informed
+            self.state = dataclasses.replace(
+                self.state,
+                a_params=self.state.a_params.at[1].set(a_inf),
+                logps=self.state.logps.at[1].set(logp_inf))
+
         # one host round trip for all step outputs (4 separate scalar
         # fetches would each pay remote-device latency)
         logev, dlogev, KL, mom_ok = jax.device_get(

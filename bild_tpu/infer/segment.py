@@ -1,0 +1,105 @@
+"""
+Optimal k-switch segmentation under a per-frame state-score table.
+
+Given ``table[s, t]`` (e.g. the factorized per-frame log-likelihoods, the
+same quantity behind the reference's frame-wise MLE guess,
+``bild/models.py:453-481``), find the profile with EXACTLY ``k`` switches
+(respecting the allowed-transition mask) maximizing ``sum_t table[profile[t], t]``.
+
+Dynamic program over (switch count j, frame t, state s) with prefix sums and
+a running max, O(k * T * n^2) — cheap host work even at T ~ 1e5. Used to
+seed AMIS proposals at each k (`FixedkSampler(informed_init=True)`): the
+uniform initial proposal struggles to find fine-grained switch positions at
+long T (see DESIGN.md section 7); this segmentation is the natural informed
+starting point, and the AMIS deterministic-mixture weighting keeps the
+evidence estimate consistent regardless of the initial proposal.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["dp_segment"]
+
+
+def dp_segment(table, k, transitions=None):
+    """
+    Parameters
+    ----------
+    table : (n, T) float
+        per-frame, per-state scores (higher = better); NaN treated as 0
+        (missing frames score equally under every state)
+    k : int
+        exact number of switches in the output profile
+    transitions : (n, n) bool or None
+        allowed transitions; default all-but-self
+
+    Returns
+    -------
+    profile : (T,) int, or None if no k-switch profile exists (e.g. k >= T
+        or the transition graph forbids it)
+    score : float
+    """
+    table = np.nan_to_num(np.asarray(table, dtype=float))
+    n, T = table.shape
+    if k >= T:
+        return None, -np.inf
+    if transitions is None:
+        transitions = ~np.eye(n, dtype=bool)
+    transitions = np.asarray(transitions, dtype=bool)
+
+    # prefix[s, t] = sum of table[s, :t]
+    prefix = np.concatenate([np.zeros((n, 1)), np.cumsum(table, axis=1)], axis=1)
+
+    NEG = -np.inf
+    # D[t, s] = best score of frames [0, t] (inclusive) ending in state s
+    # with exactly j switches, where the last switch is anywhere <= t.
+    # Layer j=0: single segment.
+    D = prefix[:, 1:].T.copy()                      # (T, s): prefix[s, t+1]
+    parent = []                                     # per layer: (T, s) switch frame
+
+    for j in range(1, k + 1):
+        # best previous-layer value at switch position t' (profile switches
+        # INTO s at frame t'+1): cand[t', s] = max_{s' -> s} D_prev[t', s']
+        # minus the new state's prefix at the switch.
+        Dp = np.where(np.isfinite(D), D, NEG)       # (T, s')
+        # max over allowed predecessors for each target state
+        cand = np.full((T, n), NEG)
+        arg_sprev = np.zeros((T, n), dtype=int)
+        for s in range(n):
+            allowed = transitions[:, s]
+            if not np.any(allowed):
+                continue
+            vals = np.where(allowed[None, :], Dp, NEG)   # (T, s')
+            arg_sprev[:, s] = np.argmax(vals, axis=1)
+            cand[:, s] = vals[np.arange(T), arg_sprev[:, s]]
+        # subtract prefix of the new state up to the switch: score of the new
+        # segment (t'+1 .. t) = prefix[s, t+1] - prefix[s, t'+1]
+        adj = cand - prefix[:, 1:].T                 # (t', s)
+        # running max over t' < t
+        run = np.maximum.accumulate(adj[:-1], axis=0)            # (T-1, s)
+        argrun = np.zeros((T - 1, n), dtype=int)
+        for s in range(n):
+            better = np.concatenate([[True], adj[1:-1, s] > run[:-1, s]])
+            argrun[:, s] = np.where(better, np.arange(T - 1), 0)
+            argrun[:, s] = np.maximum.accumulate(argrun[:, s])
+        D_new = np.full((T, n), NEG)
+        D_new[1:] = run + prefix[:, 2:].T            # score at frame t = run[t-1] + prefix[s, t+1]
+        parent.append((argrun, arg_sprev))
+        D = D_new
+
+    s_best = int(np.argmax(D[T - 1]))
+    score = D[T - 1, s_best]
+    if not np.isfinite(score):
+        return None, -np.inf
+
+    # backtrack
+    profile = np.empty(T, dtype=int)
+    t, s = T - 1, s_best
+    for j in range(k, 0, -1):
+        argrun, arg_sprev = parent[j - 1]
+        t_switch = int(argrun[t - 1, s])             # last switch position t'
+        profile[t_switch + 1 : t + 1] = s
+        s = int(arg_sprev[t_switch, s])
+        t = t_switch
+    profile[: t + 1] = s
+    return profile, float(score)

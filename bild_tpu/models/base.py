@@ -64,6 +64,32 @@ class MultiStateModel(metaclass=abc.ABCMeta):
             self.logL(Loopingprofile(p), traj) for p in profiles
         ])
 
+    def _segment_table(self, traj):
+        """``(n, T)`` per-frame state-score table for DP segmentation, or
+        ``None`` if the model has no frame-factorized approximation."""
+        return None
+
+    def segment_guess(self, traj, k):
+        """
+        Informed ``(s_fractions, theta)`` initialization for a k-switch AMIS
+        proposal: the optimal k-segmentation of the model's frame-factorized
+        score table (`bild_tpu.infer.segment.dp_segment`). ``None`` when
+        unavailable or infeasible.
+        """
+        table = self._segment_table(traj)
+        if table is None:
+            return None
+        from ..infer.segment import dp_segment
+
+        profile, score = dp_segment(np.asarray(table), k, self.transitions)
+        if profile is None:
+            return None
+        bounds = np.concatenate([[0], np.nonzero(np.diff(profile))[0] + 1,
+                                 [len(profile)]])
+        fracs = np.diff(bounds) / len(profile)
+        theta = profile[bounds[:-1]]
+        return fracs, theta
+
     def lockstep_fns_single(self, traj):
         """
         ``(per_traj, logL_fn)`` for ONE trajectory, where ``logL_fn(profiles,

@@ -61,6 +61,11 @@ class FactorizedModel(MultiStateModel):
     def clear_memo(self):
         self._known_trajs = {}
 
+    def _segment_table(self, traj):
+        # NaN-free, missing frames already zeroed (equal score under every
+        # state, so segmentation ignores them)
+        return np.asarray(self._memo(traj)["logL_table"])
+
     # -- likelihood --------------------------------------------------------
     def logL(self, profile, traj) -> float:
         return float(self.logL_batch(np.asarray(profile)[None, :], traj)[0])
@@ -74,6 +79,15 @@ class FactorizedModel(MultiStateModel):
             vals = jnp.where(profiles == s, table[s][None, :], vals)
         return jnp.sum(vals, axis=1)
 
+    def lockstep_segment_tables(self, batch) -> np.ndarray:
+        """``(B, n, T)`` per-frame state-score tables for a batch (used for
+        DP-segmentation informed initialization); masked frames score 0."""
+        mags = np.linalg.norm(np.asarray(batch.data), axis=-1)      # (B, T)
+        with np.errstate(divide="ignore", invalid="ignore", under="ignore"):
+            tables = np.stack([dist.logpdf(mags) for dist in self.distributions],
+                              axis=1)                                # (B, n, T)
+        return np.where(np.asarray(batch.valid)[:, None, :], tables, 0.0)
+
     def lockstep_fns(self, batch):
         """
         Lockstep-mode hooks (see ``MultiStateRouse.lockstep_fns``): the
@@ -81,12 +95,7 @@ class FactorizedModel(MultiStateModel):
         scipy evaluations, batched once up front); the traceable likelihood
         is a masked gather-sum.
         """
-        mags = np.linalg.norm(np.asarray(batch.data), axis=-1)      # (B, T)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            tables = np.stack([dist.logpdf(mags) for dist in self.distributions],
-                              axis=1)                                # (B, n, T)
-        tables = np.where(np.asarray(batch.valid)[:, None, :], tables, 0.0)
-        tables = jnp.asarray(tables, dtype=fdtype())
+        tables = jnp.asarray(self.lockstep_segment_tables(batch), dtype=fdtype())
 
         # stable logL_fn (cached on the model) so fused-step jit caches
         # persist across sampler instances

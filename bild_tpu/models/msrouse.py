@@ -202,6 +202,19 @@ class MultiStateRouse(MultiStateModel):
             self._single_fns[err_key] = logL_fn
         return (traj.data, traj.valid), self._single_fns[err_key]
 
+    def _segment_table(self, traj):
+        """Frame-factorized scores via the steady-state Maxwell approximation
+        (the same approximation behind `initial_loopingprofile`)."""
+        if not hasattr(self, "_factorized_cache"):
+            self._factorized_cache = self.toFactorized()
+        return self._factorized_cache._segment_table(traj)
+
+    def lockstep_segment_tables(self, batch):
+        """``(B, n, T)`` frame-factorized score tables for a batch."""
+        if not hasattr(self, "_factorized_cache"):
+            self._factorized_cache = self.toFactorized()
+        return self._factorized_cache.lockstep_segment_tables(batch)
+
     # -- convenience -------------------------------------------------------
     def initial_loopingprofile(self, traj) -> Loopingprofile:
         return self.toFactorized().initial_loopingprofile(traj)

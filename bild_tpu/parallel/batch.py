@@ -162,11 +162,11 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals):
     if cache_key in _LOCKSTEP_RUNNERS:
         return _LOCKSTEP_RUNNERS[cache_key]
 
-    def run_one(per_traj, key, transitions, a0, logp0, active, logprior,
-                conc_brake_N, pol_brake_N):
+    def run_one(per_traj, key, transitions, a0, logp0, a_inf, logp_inf,
+                use_informed, active, logprior, conc_brake_N, pol_brake_N):
         state = AmisState.create(S, N, K1 - 1, n, a0, logp0)
 
-        def body(_, carry):
+        def body(i, carry):
             state, key = carry
             key, sub = jax.random.split(key)
             ss, th, profiles = amis_propose(state, sub, transitions, N=N, T=T,
@@ -175,6 +175,15 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals):
             state, _ = amis_update(state, ss, th, logLs, transitions,
                                    logprior, conc_brake_N, pol_brake_N,
                                    active=active)
+            # after the first (uniform) step, inject the informed proposal as
+            # the second mixture component (see FixedkSampler.step)
+            seed = use_informed & (i == 0)
+            state = dataclasses.replace(
+                state,
+                a_params=state.a_params.at[1].set(
+                    jnp.where(seed, a_inf, state.a_params[1])),
+                logps=state.logps.at[1].set(
+                    jnp.where(seed, logp_inf, state.logps[1])))
             return state, key
 
         state, _ = jax.lax.fori_loop(0, steps, body, (state, key))
@@ -197,8 +206,10 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals):
             logpost = jnp.zeros((0, 0), dtype=ev.dtype)
         return ev, map_prof, logpost
 
+    # a0/logp0 are per-trajectory (axis 0): the informed-init path seeds each
+    # trajectory's proposal at its own DP segmentation
     runner = jax.jit(jax.vmap(
-        run_one, in_axes=(0, 0, None, None, None, None, None, None, None)))
+        run_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0, None, None, None, None)))
     _LOCKSTEP_RUNNERS[cache_key] = runner
     return runner
 
@@ -212,7 +223,8 @@ def sample_batch(model, batch: TrajectoryBatch,
                  polarization_brake=1e-3,
                  key=None,
                  mesh=None,
-                 marginals=False) -> BatchResults:
+                 marginals=False,
+                 informed_init=False) -> BatchResults:
     """
     Lockstep inference over a trajectory batch.
 
@@ -226,6 +238,10 @@ def sample_batch(model, batch: TrajectoryBatch,
         128-lane tiles so the Rouse likelihood runs in the Pallas kernel.
     mesh : optional `jax.sharding.Mesh` with a ``data`` axis; the batch is
         sharded over it (data parallelism over trajectories).
+    informed_init : bool
+        seed each trajectory's initial proposal at its DP segmentation
+        (strongly recommended for long trajectories, where the uniform
+        proposal rarely finds fine-grained switch positions — see DESIGN.md).
     """
     if key is None:
         key = jax.random.key(np.random.randint(2**31))
@@ -247,6 +263,9 @@ def sample_batch(model, batch: TrajectoryBatch,
     cb = jnp.asarray(N * concentration_brake, dtype=dtype)
     pb = jnp.asarray(N * polarization_brake, dtype=dtype)
 
+    seg_tables = (np.asarray(model.lockstep_segment_tables(batch))
+                  if informed_init else None)
+
     evs, maps, margs = [], [], []
     for k in range(k_max + 1):
         if k >= T:
@@ -255,9 +274,33 @@ def sample_batch(model, batch: TrajectoryBatch,
             margs.append(np.full((B, n, T), -np.inf))
             continue
 
-        a0 = jnp.ones(K1, dtype=dtype)
-        logp0 = jnp.full((n, K1), -math.log(n), dtype=dtype)
-        logp0 = logp0.at[:, : k + 1].set(cfc.logp_uniform(k))
+        a0_np = np.ones((B, K1))
+        logp0_np = np.full((B, n, K1), -math.log(n))
+        logp0_np[:, :, : k + 1] = np.asarray(cfc.logp_uniform(k))[None]
+        a_inf_np = a0_np.copy()
+        logp_inf_np = logp0_np.copy()
+        use_inf_np = np.zeros(B, dtype=bool)
+        if seg_tables is not None:
+            from ..amis.sampler import informed_proposal
+            from ..infer.segment import dp_segment
+
+            for b in range(B):
+                prof, score = dp_segment(seg_tables[b], k, model.transitions)
+                if prof is None:
+                    continue
+                bounds = np.concatenate(
+                    [[0], np.nonzero(np.diff(prof))[0] + 1, [T]])
+                fracs = np.diff(bounds) / T
+                a_b, logp_b = informed_proposal(
+                    fracs, prof[bounds[:-1]], n, T)
+                a_inf_np[b, : k + 1] = a_b
+                logp_inf_np[b, :, : k + 1] = logp_b
+                use_inf_np[b] = True
+        a0 = jnp.asarray(a0_np, dtype=dtype)
+        logp0 = jnp.asarray(logp0_np, dtype=dtype)
+        a_inf = jnp.asarray(a_inf_np, dtype=dtype)
+        logp_inf = jnp.asarray(logp_inf_np, dtype=dtype)
+        use_inf = jnp.asarray(use_inf_np)
         active = jnp.arange(K1) < (k + 1)
         logprior = jnp.asarray(
             sum(math.log(i + 1) for i in range(k)) - cfc.N_total(k, log=True),
@@ -266,6 +309,7 @@ def sample_batch(model, batch: TrajectoryBatch,
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, B)
         ev_k, map_k, marg_k = runner(per_traj, keys, transitions, a0, logp0,
+                                     a_inf, logp_inf, use_inf,
                                      active, logprior, cb, pb)
         evs.append(np.asarray(ev_k))
         maps.append(np.asarray(map_k))

@@ -122,6 +122,8 @@ def load_results(path, model) -> SamplingResults:
             s.k_pad = s.K1 - 1
             s.active = jnp.arange(s.K1) < (s.k + 1)
             s.key = jax.random.wrap_key_data(arrays[f"s{i}_key"])
+            s._informed = None  # injection moment has passed (or never set)
+            s._steps_done = int(arrays[f"s{i}_n_steps"])
             fields = {}
             for f in _STATE_FIELDS:
                 v = arrays[f"s{i}_{f}"]

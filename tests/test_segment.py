@@ -1,0 +1,96 @@
+"""DP segmentation + informed proposal initialization."""
+import itertools
+
+import numpy as np
+import jax
+
+import bild_tpu as bild
+from bild_tpu import Trajectory
+from bild_tpu.infer.segment import dp_segment
+from bild_tpu.models import MultiStateRouse, FactorizedModel
+from bild_tpu.parallel import sample_batch
+
+
+def test_dp_segment_matches_bruteforce(rng):
+    for _ in range(15):
+        n = int(rng.integers(2, 4))
+        T = int(rng.integers(3, 8))
+        k = int(rng.integers(0, min(3, T - 1) + 1))
+        table = rng.normal(size=(n, T))
+        trans = ~np.eye(n, dtype=bool)
+
+        best_score = -np.inf
+        for prof in itertools.product(range(n), repeat=T):
+            prof = np.array(prof)
+            if np.count_nonzero(prof[1:] != prof[:-1]) != k:
+                continue
+            best_score = max(best_score, table[prof, np.arange(T)].sum())
+
+        got, gscore = dp_segment(table, k, trans)
+        if not np.isfinite(best_score):
+            assert got is None or not np.isfinite(gscore)
+            continue
+        assert np.count_nonzero(got[1:] != got[:-1]) == k
+        np.testing.assert_allclose(gscore, best_score, rtol=1e-12)
+
+
+def test_dp_segment_respects_transitions(rng):
+    trans = np.array([[0, 1, 0], [0, 0, 1], [1, 0, 0]], dtype=bool)  # cycle
+    table = rng.normal(size=(3, 10))
+    prof, _ = dp_segment(table, 3, trans)
+    for a, b in zip(prof[:-1], prof[1:]):
+        assert a == b or trans[a, b]
+
+
+def test_dp_segment_infeasible():
+    prof, score = dp_segment(np.zeros((2, 4)), 10)
+    assert prof is None and score == -np.inf
+
+
+def test_segment_guess_models(rng):
+    model = MultiStateRouse(10, 1, 5, d=1, localization_error=0.2)
+    true = np.zeros(50, dtype=int)
+    true[20:35] = 1
+    traj = model.trajectory_from_loopingprofile(true, key=jax.random.key(0))
+    fracs, theta = model.segment_guess(traj, 2)
+    assert len(fracs) == 3 and len(theta) == 3
+    np.testing.assert_allclose(np.sum(fracs), 1.0)
+    assert np.all(theta[1:] != theta[:-1])
+
+    # GGM has no frame-factorized table
+    from bild_tpu.models import GenericGaussianModel
+    ggm = GenericGaussianModel([
+        [(GenericGaussianModel.MSD_function_powerlaw(), 0.0, 1)],
+        [(GenericGaussianModel.MSD_function_powerlaw(G=2.0), 0.0, 1)],
+    ])
+    assert ggm.segment_guess(traj, 1) is None
+
+
+def test_informed_init_improves_long_T():
+    model = MultiStateRouse(10, 1, 5, d=1, localization_error=0.1)
+    T, B = 300, 4
+    profs = np.zeros((B, T), dtype=int)
+    profs[:, 100:200] = 1
+    batch = model.trajectories_from_loopingprofiles(profs, key=jax.random.key(0))
+    res_u = sample_batch(model, batch, k_max=3, steps_per_k=8, N=128,
+                         key=jax.random.key(1))
+    res_i = sample_batch(model, batch, k_max=3, steps_per_k=8, N=128,
+                         key=jax.random.key(1), informed_init=True)
+    acc_u = np.mean(res_u.best_profile() == profs)
+    acc_i = np.mean(res_i.best_profile() == profs)
+    assert acc_i >= acc_u - 0.01  # informed never meaningfully worse
+    assert acc_i > 0.95
+
+
+def test_informed_init_adaptive():
+    from bild_tpu.amis import FixedkSampler
+    model = MultiStateRouse(10, 1, 5, d=1, localization_error=0.1)
+    true = np.zeros(200, dtype=int)
+    true[60:140] = 1
+    traj = model.trajectory_from_loopingprofile(true, key=jax.random.key(2))
+    s = FixedkSampler(traj, model, k=2, max_fcomplete=0, N=64, max_fev=1000,
+                      key=jax.random.key(3), informed_init=True)
+    for _ in range(10):
+        s.step()
+    acc = np.mean(s.MAP_profile()[:] == true)
+    assert acc > 0.95
