@@ -9,7 +9,6 @@ for CPU-oracle parity testing the test-suite enables float64 via
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["fdtype", "idtype", "MATMUL_PRECISION"]

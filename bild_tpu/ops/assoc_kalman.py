@@ -30,8 +30,6 @@ sequential batched kernels otherwise.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax

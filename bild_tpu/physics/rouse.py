@@ -29,7 +29,7 @@ kernels consume on device.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 from scipy.special import erfc as _erfc

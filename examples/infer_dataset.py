@@ -51,8 +51,9 @@ def main():
 
     t0 = time.time()
     for idx, batch in bucket_trajectories(trajs):
-        res = sample_batch(model, batch, k_max=4, steps_per_k=15, N=100,
-                           mesh=mesh, key=jax.random.key(42))
+        res = sample_batch(model, batch, k_max=4, steps_per_k=15,
+                           mesh=mesh, key=jax.random.key(42),
+                           informed_init=True)
         best_k = res.best_k(dE=0)
         profiles = res.best_profile()
         print(f"bucket T={batch.T}: {len(idx)} trajectories, "
