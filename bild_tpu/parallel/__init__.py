@@ -1,2 +1,3 @@
-from .batch import TrajectoryBatch, BatchResults, stack_trajectories, sample_batch  # noqa: F401
+from .batch import (TrajectoryBatch, BatchResults, stack_trajectories,  # noqa: F401
+                    bucket_trajectories, sample_batch)
 from .mesh import make_mesh, shard_batch  # noqa: F401
