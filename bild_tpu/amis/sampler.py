@@ -383,7 +383,6 @@ class FixedkSampler:
                                   jnp.asarray(logp_full, dtype=dtype))
 
         self.S = max(1, -(-self.max_fev // self.N) - 1)  # max possible steps
-        self._steps_done = 0
         self.state = AmisState.create(self.S, self.N, self.K1 - 1, self.n, a0, logp0)
 
         # fused single-dispatch step when the model likelihood is traceable
@@ -487,24 +486,23 @@ class FixedkSampler:
                 self.state, ss, thetas, logLs, self._transitions,
                 logprior, cb, pb, active=self.active,
             )
+        # one host round trip for all step outputs (separate scalar fetches
+        # would each pay remote-device latency)
+        logev, dlogev, KL, mom_ok, n_steps = jax.device_get(
+            (logev, dlogev, KL, self.state.mom_ok, self.state.n_steps))
+
         # inject the informed proposal as the second mixture component
-        self._steps_done += 1
-        if self._informed is not None and self._steps_done == 1:
+        if self._informed is not None and int(n_steps) == 1:
             a_inf, logp_inf = self._informed
             self.state = dataclasses.replace(
                 self.state,
                 a_params=self.state.a_params.at[1].set(a_inf),
                 logps=self.state.logps.at[1].set(logp_inf))
-
-        # one host round trip for all step outputs (4 separate scalar
-        # fetches would each pay remote-device latency)
-        logev, dlogev, KL, mom_ok = jax.device_get(
-            (logev, dlogev, KL, self.state.mom_ok))
         if not mom_ok:
             raise RuntimeError("CFC method-of-marginals iteration did not converge")
         self.evidences.append((float(logev), float(dlogev), float(KL)))
 
-        if (int(self.state.n_steps) + 1) * self.N >= self.max_fev:
+        if (int(n_steps) + 1) * self.N >= self.max_fev:
             self.exhausted = True
         return True
 

@@ -79,16 +79,18 @@ class MultiStateModel(metaclass=abc.ABCMeta):
         table = self._segment_table(traj)
         if table is None:
             return None
-        from ..infer.segment import dp_segment
+        from ..infer.segment import dp_segment, profile_to_st
 
         profile, score = dp_segment(np.asarray(table), k, self.transitions)
         if profile is None:
             return None
-        bounds = np.concatenate([[0], np.nonzero(np.diff(profile))[0] + 1,
-                                 [len(profile)]])
-        fracs = np.diff(bounds) / len(profile)
-        theta = profile[bounds[:-1]]
-        return fracs, theta
+        return profile_to_st(profile)
+
+    def lockstep_segment_tables(self, batch):
+        """``(B, n, T)`` frame-factorized score tables for a batch, or
+        ``None`` (no factorized approximation — lockstep informed-init then
+        falls back to uniform, mirroring `segment_guess`)."""
+        return None
 
     def lockstep_fns_single(self, traj):
         """

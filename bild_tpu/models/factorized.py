@@ -81,12 +81,19 @@ class FactorizedModel(MultiStateModel):
 
     def lockstep_segment_tables(self, batch) -> np.ndarray:
         """``(B, n, T)`` per-frame state-score tables for a batch (used for
-        DP-segmentation informed initialization); masked frames score 0."""
+        DP-segmentation informed initialization); masked frames score 0.
+        Cached per batch object: `lockstep_fns` and the informed-init path
+        both need it, and the host scipy evaluation is the expensive part."""
+        if getattr(self, "_seg_cache_src", None) is batch.data:
+            return self._seg_cache
         mags = np.linalg.norm(np.asarray(batch.data), axis=-1)      # (B, T)
         with np.errstate(divide="ignore", invalid="ignore", under="ignore"):
             tables = np.stack([dist.logpdf(mags) for dist in self.distributions],
                               axis=1)                                # (B, n, T)
-        return np.where(np.asarray(batch.valid)[:, None, :], tables, 0.0)
+        tables = np.where(np.asarray(batch.valid)[:, None, :], tables, 0.0)
+        self._seg_cache_src = batch.data
+        self._seg_cache = tables
+        return tables
 
     def lockstep_fns(self, batch):
         """

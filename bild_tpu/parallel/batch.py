@@ -263,8 +263,16 @@ def sample_batch(model, batch: TrajectoryBatch,
     cb = jnp.asarray(N * concentration_brake, dtype=dtype)
     pb = jnp.asarray(N * polarization_brake, dtype=dtype)
 
-    seg_tables = (np.asarray(model.lockstep_segment_tables(batch))
-                  if informed_init else None)
+    seg_all = None
+    if informed_init:
+        seg_tables = model.lockstep_segment_tables(batch)
+        if seg_tables is not None:
+            from ..infer.segment import dp_segment_all
+
+            # one DP sweep per trajectory covers every k (layer j feeds j+1)
+            seg_all = [dp_segment_all(np.asarray(seg_tables[b]), K1 - 1,
+                                      model.transitions)[0]
+                       for b in range(B)]
 
     evs, maps, margs = [], [], []
     for k in range(k_max + 1):
@@ -280,19 +288,16 @@ def sample_batch(model, batch: TrajectoryBatch,
         a_inf_np = a0_np.copy()
         logp_inf_np = logp0_np.copy()
         use_inf_np = np.zeros(B, dtype=bool)
-        if seg_tables is not None:
+        if seg_all is not None:
             from ..amis.sampler import informed_proposal
-            from ..infer.segment import dp_segment
+            from ..infer.segment import profile_to_st
 
             for b in range(B):
-                prof, score = dp_segment(seg_tables[b], k, model.transitions)
+                prof = seg_all[b][k]
                 if prof is None:
                     continue
-                bounds = np.concatenate(
-                    [[0], np.nonzero(np.diff(prof))[0] + 1, [T]])
-                fracs = np.diff(bounds) / T
-                a_b, logp_b = informed_proposal(
-                    fracs, prof[bounds[:-1]], n, T)
+                fracs, theta = profile_to_st(prof)
+                a_b, logp_b = informed_proposal(fracs, theta, n, T)
                 a_inf_np[b, : k + 1] = a_b
                 logp_inf_np[b, :, : k + 1] = logp_b
                 use_inf_np[b] = True

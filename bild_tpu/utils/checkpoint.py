@@ -51,6 +51,7 @@ def save_results(path, results: SamplingResults):
             "k": s.k, "N": s.N, "brakes": list(s.brakes),
             "max_fev": s.max_fev, "max_fcomplete": s.max_fcomplete,
             "exhausted": bool(s.exhausted),
+            "informed_init": bool(getattr(s, "informed_init", False)),
             "evidences": [list(map(float, e)) for e in s.evidences],
             "degenerate": not hasattr(s, "state"),
             "has_exhaustive": s._exhaustive is not None if hasattr(s, "_exhaustive") else False,
@@ -122,8 +123,22 @@ def load_results(path, model) -> SamplingResults:
             s.k_pad = s.K1 - 1
             s.active = jnp.arange(s.K1) < (s.k + 1)
             s.key = jax.random.wrap_key_data(arrays[f"s{i}_key"])
-            s._informed = None  # injection moment has passed (or never set)
-            s._steps_done = int(arrays[f"s{i}_n_steps"])
+            # rebuild a pending informed-proposal injection: it only fires
+            # after the FIRST step, so it is still pending iff no step ran
+            s._informed = None
+            s.informed_init = bool(smeta.get("informed_init", False))
+            if s.informed_init and int(arrays[f"s{i}_n_steps"]) == 0:
+                from ..amis.sampler import informed_proposal
+                guess = model.segment_guess(traj, s.k)
+                if guess is not None:
+                    a_inf, logp_inf = informed_proposal(
+                        guess[0], guess[1], s.n, s.T)
+                    a_full = np.ones(s.K1)
+                    a_full[: s.k + 1] = a_inf
+                    logp_full = np.full((s.n, s.K1), -np.log(s.n))
+                    logp_full[:, : s.k + 1] = logp_inf
+                    s._informed = (jnp.asarray(a_full, dtype=fdtype()),
+                                   jnp.asarray(logp_full, dtype=fdtype()))
             fields = {}
             for f in _STATE_FIELDS:
                 v = arrays[f"s{i}_{f}"]

@@ -31,3 +31,10 @@ np.seterr(all="raise")
 @pytest.fixture
 def rng():
     return np.random.default_rng(685441950)
+
+
+def logsumexp_safe(*args, **kwargs):
+    """scipy logsumexp with benign underflow ignored (strict-FP posture)."""
+    from scipy.special import logsumexp as _lse
+    with np.errstate(under="ignore"):
+        return _lse(*args, **kwargs)

@@ -3,13 +3,7 @@ TestPostproc) plus stats coverage the reference lacks."""
 import numpy as np
 import jax
 from scipy import stats as sp_stats
-from scipy.special import logsumexp as _lse
-
-
-def logsumexp(*args, **kwargs):
-    import numpy as _np
-    with _np.errstate(under="ignore"):
-        return _lse(*args, **kwargs)
+from conftest import logsumexp_safe as logsumexp
 
 import bild_tpu as bild
 from bild_tpu import Trajectory

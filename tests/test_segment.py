@@ -94,3 +94,32 @@ def test_informed_init_adaptive():
         s.step()
     acc = np.mean(s.MAP_profile()[:] == true)
     assert acc > 0.95
+
+
+def test_dp_segment_handles_neg_inf():
+    # -inf scores (e.g. bounded-support distributions) must not silently
+    # corrupt the DP through prefix-sum cancellation
+    rng = np.random.default_rng(5)
+    table = rng.normal(size=(2, 20))
+    table[0, 5] = -np.inf
+    table[1, 12] = -np.inf
+    prof, score = dp_segment(table, 2)
+    assert np.isfinite(score)
+    # the -inf cells are avoided (never forced here: alternatives exist)
+    assert prof[5] != 0 and prof[12] != 1
+    # score consistent with the table evaluated on the clamped copy (atol:
+    # prefix sums pass through the 1e6-scale sentinel, costing ~1e-10 abs)
+    clamped = np.clip(np.nan_to_num(table, neginf=-1e6), -1e6, 1e6)
+    np.testing.assert_allclose(score, clamped[prof, np.arange(20)].sum(),
+                               atol=1e-7)
+
+
+def test_dp_segment_all_consistent(rng):
+    from bild_tpu.infer.segment import dp_segment_all
+    table = rng.normal(size=(3, 15))
+    profs, scores = dp_segment_all(table, 4)
+    for k in range(5):
+        p_k, s_k = dp_segment(table, k)
+        np.testing.assert_array_equal(profs[k], p_k)
+        np.testing.assert_allclose(scores[k], s_k, rtol=1e-12)
+        assert np.count_nonzero(profs[k][1:] != profs[k][:-1]) == k
