@@ -1,19 +1,24 @@
 """
 Information-gain driven sample selection across switch counts k.
 
-Reference parity: ``ChoiceSampler``, ``bild/choicesampler.py``. Given the
-evidence curve (point estimates, squared SEMs, sample counts) and the
-evidence margin dE, Monte-Carlo-sample the "choice distribution" p(k) =
-P(k is chosen best under the dE rule) and estimate the expected KL
-information gain of (a) one more AMIS step at each k and (b) having explored
-a region of k at all (the lookahead importance).
+Reference parity: the ``ChoiceSampler`` of ``bild/choicesampler.py`` (same
+decision semantics, re-derived and fully vectorized). Given the evidence
+curve — point estimates ``logev``, squared standard errors ``var_logev``,
+and AMIS step counts ``n_steps`` per k — plus the evidence margin, this
+class Monte-Carlo-estimates the *choice distribution* p(k): the probability
+that k would be selected as "best" under the margin rule if the true
+evidence curve were drawn from the current error bars. From that it scores
 
-This is host-side control logic: tiny dense arrays (samplesize x kmax),
-microseconds in numpy, re-created every driver iteration with a growing
-kmax. Putting it on the remote device would cost more in dispatch latency
-than the whole computation. Common random numbers across variants (reference
-``bild/choicesampler.py:133-138``) are preserved — they are what makes the
-KLD differences low-variance.
+- `KLD_moreSamples`: the expected KL information gain of spending one more
+  AMIS step at each k, and
+- `KLD_omitK`: how much information a region of k contributes at all (the
+  lookahead importance used to decide whether to open a new k).
+
+All variants are evaluated on one cached set of evidence-curve draws
+(common random numbers), which is what makes the KL *differences*
+low-variance. Everything here is host-side control logic on tiny
+``(samplesize, k)`` arrays — dispatching it to the device would cost more
+in latency than the whole computation.
 """
 from __future__ import annotations
 
@@ -24,79 +29,115 @@ __all__ = ["ChoiceSampler"]
 
 class ChoiceSampler:
     """
+    Monte-Carlo scorer for "where should the next AMIS step go?".
+
     Parameters
     ----------
-    muhat : (k,) evidence point estimates
-    shat : (k,) squared standard errors of muhat
-    N : (k,) number of AMIS steps behind each estimate (inf = exhausted)
-    dE : float, evidence margin
-    samplesize : int, MC sample size
-    rng : optional numpy Generator (defaults to the global RNG, matching the
-        reference's implicit seeding)
+    logev : (k,) array
+        evidence point estimates per switch count
+    var_logev : (k,) array
+        squared standard errors of `logev`
+    n_steps : (k,) array
+        AMIS steps behind each estimate; ``inf`` marks an exhausted sampler
+        (its evidence can no longer move, so its expected gain is zero)
+    margin : float
+        the evidence margin dE: among k whose (drawn) evidence lies within
+        `margin` of the maximum, the smallest k wins
+    samplesize : int
+        number of Monte-Carlo draws of the evidence curve
+    rng : numpy Generator, optional
+        source of the curve draws; pass one derived from the inference key
+        for reproducible runs (``sample`` does). Defaults to a fresh
+        OS-seeded generator.
+
+    Attributes
+    ----------
+    counts0 : (k,) int array
+        histogram of the winning k over the cached draws; ``counts0 /
+        samplesize`` is the choice distribution p(k).
+    step_rms : (k,) array
+        root-mean-square evidence shift expected from one more AMIS step at
+        each k (``sqrt(var_logev / (n_steps + 1))``).
     """
 
-    def __init__(self, muhat, shat, N, dE, samplesize=10000, rng=None):
-        self.dE = dE
-        self.muhat = np.asarray(muhat, dtype=float)
-        self.shat = np.asarray(shat, dtype=float)
-        self.N = np.asarray(N, dtype=float)
-        self.samplesize = samplesize
-        self.kmax = len(self.muhat)
+    def __init__(self, logev, var_logev, n_steps, margin,
+                 samplesize=10000, rng=None):
+        self.logev = np.asarray(logev, dtype=float)
+        self.var_logev = np.asarray(var_logev, dtype=float)
+        self.margin = float(margin)
+        self.samplesize = int(samplesize)
+        self.n_k = len(self.logev)
 
-        # expected squared evidence update from one more sample at k
-        self.EDmu2 = self.shat / (self.N + 1)
-        self.Dmu = np.sqrt(self.EDmu2)
+        n_steps = np.asarray(n_steps, dtype=float)
+        self.step_rms = np.sqrt(self.var_logev / (n_steps + 1.0))
 
-        self._rng = np.random if rng is None else rng
-        self.init_sample()
+        if rng is None:
+            rng = np.random.default_rng()
+        # One cached set of evidence-curve draws underlies *every* variant
+        # evaluated below (common random numbers).
+        noise = rng.standard_normal((self.samplesize, self.n_k))
+        self._curves = self.logev + np.sqrt(self.var_logev) * noise
 
-    def init_sample(self):
-        """(Re)draw the underlying common-random-number sample (reference
-        ``bild/choicesampler.py:99-110``)."""
-        self._scaled_rvs = np.sqrt(self.shat)[None, :] * self._rng.normal(
-            size=(self.samplesize, self.kmax))
+        self.counts0 = self._tally(self._pick(self._curves))
 
-        self.bestk = self.evaluate()
-        self.best_is_k = self.bestk[:, None] == np.arange(self.kmax)[None, :]
-        self.n0 = np.sum(self.best_is_k, axis=0)
+    # -- core selection rule ------------------------------------------------
+
+    def _pick(self, curves):
+        """Winning k per draw: smallest k whose evidence lies within
+        `margin` of that draw's maximum. ``curves``: (..., samplesize, k)."""
+        floor = np.max(curves, axis=-1, keepdims=True) - self.margin
+        # argmax over booleans = first index satisfying the margin rule
+        return np.argmax(curves >= floor, axis=-1)
+
+    def _tally(self, picks):
+        """Histogram the winning ks: (..., samplesize) -> (..., k)."""
+        return np.sum(picks[..., None] == np.arange(self.n_k), axis=-2)
 
     def evaluate(self, k_change=None, n_step=0.0, omit_k=None):
         """
-        Sample the choice distribution, optionally after moving ``muhat[k]``
-        by ``n_step * Dmu[k]`` or pretending some k were never evaluated.
-        The dE rule: among k whose evidence is within dE of the max, pick the
-        smallest (reference ``bild/choicesampler.py:112-151``).
+        Winning k per draw, optionally after shifting one k's evidence by
+        ``n_step`` rms steps, or pretending some k were never explored.
         """
-        myM = self.muhat.copy()
-        if k_change is not None:
-            myM[k_change] += n_step * self.Dmu[k_change]
-        if omit_k is not None:
-            myM[omit_k] = -np.inf  # excluded from max and never within margin
+        curves = self._curves
+        if k_change is not None or omit_k is not None:
+            curves = curves.copy()
+            if k_change is not None:
+                curves[:, k_change] += n_step * self.step_rms[k_change]
+            if omit_k is not None:
+                # excluded from the max and never within the margin
+                curves[:, omit_k] = -np.inf
+        return self._pick(curves)
 
-        x = self._scaled_rvs + myM[None, :]       # (samp, k)
-        m = np.max(x, axis=1, keepdims=True)
-        return np.argmax(m - self.dE - x <= 0, axis=1)
-
-    def Dn(self):
-        """Expected histogram change ``[k_change, k]`` from one more sample
-        at k_change (two-sided half-step difference, common random numbers)."""
-        new_ks = np.array([[self.evaluate(k, step) for k in range(self.kmax)]
-                           for step in (-0.5, 0.5)])               # (2, kc, samp)
-        new_n = np.sum(new_ks[..., None] == np.arange(self.kmax), axis=-2)
-        return new_n[1] - new_n[0]
+    # -- information-gain scores ---------------------------------------------
 
     def KLD_moreSamples(self):
-        """Expected KL information gain of one additional AMIS step at each k."""
-        Dn = self.Dn()
-        return 0.5 / self.samplesize * np.sum(Dn**2 / (self.n0 + 1)[None, :], axis=-1)
+        """
+        Expected KL information gain of one additional AMIS step at each k.
 
-    def KLD_omitK(self, omit_k=None):
-        """Information contributed by the k in ``omit_k`` (lookahead
-        importance; reference ``bild/choicesampler.py:180-210``)."""
-        old_k = self.evaluate(omit_k=omit_k)
-        old_n = np.sum(old_k[:, None] == np.arange(self.kmax)[None, :], axis=0)
-        old_n = old_n / np.sum(old_n) * self.samplesize
+        The evidence shift from one more step is symmetric around zero, so
+        the expected *change* in the choice distribution vanishes — but the
+        expected KL divergence is quadratic in the change and does not. We
+        probe it with a central difference: shift each k's column of the
+        cached draws by ±half an rms step and compare the two histograms.
+        """
+        shift = np.diag(0.5 * self.step_rms)          # (k, k), zero rows for exhausted k
+        up = self._tally(self._pick(self._curves[None] + shift[:, None, :]))
+        down = self._tally(self._pick(self._curves[None] - shift[:, None, :]))
+        swing = (up - down).astype(float)             # (k_probed, k)
+        return np.sum(swing**2 / (self.counts0 + 1.0), axis=-1) \
+            / (2.0 * self.samplesize)
 
-        Dn = self.n0 - old_n
-        Dn[omit_k] = 0
-        return 0.5 / self.samplesize * np.sum(Dn**2 / (old_n + 1))
+    def KLD_omitK(self, omit_k):
+        """
+        Information contributed by the k in ``omit_k``: the KL divergence
+        between the full choice distribution and the one obtained as if
+        those k had never been explored. Used as the lookahead importance.
+        """
+        reduced = self._tally(self.evaluate(omit_k=omit_k)).astype(float)
+        reduced *= self.samplesize / np.sum(reduced)
+        gap = self.counts0 - reduced
+        # Changes *at* the omitted positions would contribute infinite KL
+        # (reduced counts are zero there by construction); they are not what
+        # this score is about.
+        gap[omit_k] = 0.0
+        return np.sum(gap**2 / (reduced + 1.0)) / (2.0 * self.samplesize)

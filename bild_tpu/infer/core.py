@@ -58,6 +58,13 @@ def sample(traj, model,
     if key is None:
         key = jax.random.key(np.random.randint(2**31))
 
+    # host-side choice-distribution RNG, derived from the key so that a run
+    # is fully reproducible from `key` alone
+    key, choice_key = jax.random.split(key)
+    choice_kw = dict(choice_kw)
+    choice_kw.setdefault("rng", np.random.default_rng(
+        np.asarray(jax.random.key_data(choice_key)).ravel()))
+
     samplers = []
     log = {"k": [], "pk": [], "KLD": [], "I_la": []}
     memory = {"fresh sample": False}
@@ -85,7 +92,7 @@ def sample(traj, model,
                       for s in samplers])
 
         cs = ChoiceSampler(logE, dlogE**2, N, dE, **choice_kw)
-        pk = cs.n0 / cs.samplesize
+        pk = cs.counts0 / cs.samplesize
 
         # decision logic of reference bild/core.py:153-186
         if k_new < k_lookahead + 1 and k_new <= k_max:

@@ -150,7 +150,12 @@ def msrouse_logL_batch(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
 
     xs = (profiles[:, 1:].T, ydata[1:], valid[1:])
     (M, C, acc), _ = jax.lax.scan(step, (M, C, acc), xs)
-    return acc
+
+    # out-of-range states would otherwise select zeroed dynamics mid-scan and
+    # return a finite-but-wrong value; surface them as NaN instead
+    n = Bs.shape[0]
+    in_range = jnp.all((profiles >= 0) & (profiles < n), axis=1)
+    return jnp.where(in_range, acc, jnp.nan)
 
 
 def msrouse_logL_single(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind, profile, ydata, valid):

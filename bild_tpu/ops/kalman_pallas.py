@@ -181,6 +181,8 @@ def _pallas_call(Bs, Gs, Sigs, M0s, C0s, w, s2, profiles, ydata, valid,
     # input prep (inside jit: the wrapper must not dispatch eager device ops)
     profiles = jnp.asarray(profiles, dtype=jnp.int32)
     P_in, T = profiles.shape
+    # same contract as kalman.msrouse_logL_batch: out-of-range states -> NaN
+    in_range = jnp.all((profiles >= 0) & (profiles < n), axis=1)
     P = -(-P_in // P_TILE) * P_TILE
     if P != P_in:
         profiles = jnp.concatenate(
@@ -224,7 +226,7 @@ def _pallas_call(Bs, Gs, Sigs, M0s, C0s, w, s2, profiles, ydata, valid,
         ],
         interpret=interpret,
     )(Bs, Gs, Sigs, M0s, C0s, w, s2, profT, ydata, valid_i32)
-    return out[0, :P_in]
+    return jnp.where(in_range, out[0, :P_in], jnp.nan)
 
 
 def msrouse_logL_pallas(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,

@@ -54,30 +54,32 @@ def logLR_boundaries(profile, traj, model):
 
 def optimize_boundary(profile, traj, model, max_iteration=10000):
     """
-    Greedy hill climb on boundary positions (reference
+    Greedy hill climb on boundary positions (semantics of reference
     ``bild/postproc.py:64-117``). Raises `BoundaryEliminationError` if the
-    best move would merge two boundaries (usually a sign of insufficient
-    sampling), ``RuntimeError`` if ``max_iteration`` is exceeded.
+    best move would change the number of boundaries — i.e. shrink an
+    interval to nothing, usually a sign the original sampling was too thin —
+    and ``RuntimeError`` if ``max_iteration`` is exceeded.
     """
-    profile_new = Loopingprofile(np.asarray(profile)[:].copy())
+    states = np.asarray(profile)[:].copy()
     for _ in range(max_iteration):
-        logLR = logLR_boundaries(profile_new, traj, model)
-        if len(logLR) == 0:
+        boundaries, cands = _candidate_moves(states)
+        if len(boundaries) == 0:
             break
 
-        i, j = np.unravel_index(np.argmax(logLR), logLR.shape)
-        if logLR[i, j] > 0:
-            boundaries = np.nonzero(np.diff(profile_new.state))[0]
-            if ((j == 0 and boundaries[i] == 0)
-                    or (j == 0 and profile_new[boundaries[i] - 1] == profile_new[boundaries[i] + 1])
-                    or (j == 1 and boundaries[i] == len(traj) - 2)
-                    or (j == 1 and profile_new[boundaries[i] + 2] == profile_new[boundaries[i]])):
-                raise BoundaryEliminationError(
-                    f"Trying to abolish boundary at {boundaries[i]}")
-            profile_new[boundaries[i] + j] = profile_new[boundaries[i] + (1 - j)]
-        else:
+        batch = np.concatenate([cands.reshape(-1, len(states)), states[None, :]])
+        logLs = np.asarray(model.logL_batch(batch, traj), dtype=float)
+        gain = logLs[:-1].reshape(len(boundaries), 2) - logLs[-1]
+
+        i, j = np.unravel_index(np.argmax(gain), gain.shape)
+        if gain[i, j] <= 0:
             break
+        winner = cands[i, j]
+        # a legal move shifts a boundary; it never merges or drops one
+        if np.count_nonzero(np.diff(winner)) != len(boundaries):
+            raise BoundaryEliminationError(
+                f"best move would eliminate the boundary after frame {boundaries[i]}")
+        states = winner
     else:
         raise RuntimeError(f"Exceeded max_iteration = {max_iteration}")
 
-    return profile_new
+    return Loopingprofile(states)

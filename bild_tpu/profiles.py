@@ -75,30 +75,33 @@ class Loopingprofile:
     def count_switches(self) -> int:
         return int(np.count_nonzero(self.state[1:] != self.state[:-1]))
 
+    def _switch_frames(self) -> np.ndarray:
+        """Indices of the first frame of each new interval (excluding 0)."""
+        return np.flatnonzero(self.state[1:] != self.state[:-1]) + 1
+
     def intervals(self):
         """
         Constant-state intervals as ``(start, end, state)`` tuples; ``start``/
-        ``end`` are ``None`` for the first/last interval (reference
-        ``bild/util.py:89-108`` format).
+        ``end`` are ``None`` for the first/last interval (output format of
+        reference ``bild/util.py:89-108``).
         """
-        boundaries = np.nonzero(np.diff(self.state))[0] + 1
-        boundaries = [None] + boundaries.tolist()
-
-        ivs = []
-        for bl, br in zip(boundaries[:-1], boundaries[1:]):
-            ivs.append((bl, br, int(self.state[br - 1])))
-        ivs.append((boundaries[-1], None, int(self.state[-1])))
-        return ivs
+        cuts = self._switch_frames().tolist()
+        starts = [None, *cuts]
+        ends = [*cuts, None]
+        return [(a, b, int(self.state[0 if a is None else a]))
+                for a, b in zip(starts, ends)]
 
     def plottable(self):
-        """Step-function plotting coordinates (reference ``bild/util.py:110-141``)."""
-        ivs = self.intervals()
-        ivs[0] = (0, ivs[0][1], ivs[0][2])
-        ivs[-1] = (ivs[-1][0], len(self), ivs[-1][2])
-        ivs = np.asarray(ivs)
-
-        t = ivs[:, :2].flatten() - 1
-        y = np.stack([ivs[:, 2], ivs[:, 2]], axis=-1).flatten()
+        """
+        Step-function plotting coordinates (output format of reference
+        ``bild/util.py:110-141``): each interval contributes a horizontal
+        segment between its bounding edges, with the convention that frame
+        ``t`` is drawn over ``(t-1, t]`` (the state *propagates to* frame t).
+        """
+        cuts = self._switch_frames()
+        edges = np.concatenate(([0], cuts, [len(self.state)])) - 1
+        t = np.repeat(edges, 2)[1:-1]
+        y = np.repeat(self.state[np.concatenate(([0], cuts))], 2)
         return t, y
 
 

@@ -65,30 +65,39 @@ def KM_survival(data, censored, conf=0.95, Tmax=np.inf, S1at=0):
 def MLE_censored_exponential(data, censored, conf=0.95):
     """
     Maximum-likelihood mean of an exponential distribution from
-    right-censored data, with exact confidence interval by root finding
-    (reference ``bild/stats.py:67-110``). Returns ``(m, low, high)``.
+    right-censored data, with a profile-likelihood confidence interval
+    (same estimator and interval definition as reference
+    ``bild/stats.py:67-110``). Returns ``(m, low, high)``.
+
+    Derivation: with ``S = sum(data)`` and ``n`` fully-observed events, the
+    censored-exponential log-likelihood is ``-n log m - S/m``, maximized at
+    ``m* = S/n``. The interval is the set of m whose log-likelihood lies
+    within half a chi-square(1) quantile of the maximum; the gap is
+    ``n * (m*/m - 1 + log(m/m*))``, which is 0 at ``m*`` and increases
+    monotonically in both directions, so each endpoint is a simple
+    bracketed root.
     """
-    data = np.asarray(data).flatten()
-    censored = np.asarray(censored, dtype=bool).flatten()
+    data = np.asarray(data, dtype=float).ravel()
+    censored = np.asarray(censored, dtype=bool).ravel()
 
     n = np.count_nonzero(~censored)
-    alpha = 1 - conf
+    mle = np.sum(data) / n
+    half_q = stats.chi2(1).isf(1 - conf) / 2
 
-    m = np.sum(data) / n
+    def gap(m):
+        return n * (mle / m - 1 + np.log(m / mle)) - half_q
 
-    c = stats.chi2(1).isf(alpha) / (2 * n)
+    def endpoint(factor):
+        # geometric search away from the MLE until the gap turns positive,
+        # then polish with brentq on the enclosing bracket
+        outer = mle * factor
+        for _ in range(200):
+            if gap(outer) > 0:
+                break
+            outer *= factor
+        else:  # pragma: no cover
+            raise RuntimeError("Could not bracket the confidence bound")
+        inner = outer / factor
+        return optimize.brentq(gap, *sorted((inner, outer)))
 
-    def fitfun(beta):
-        return np.exp(beta) - 1 - beta - c
-
-    res = optimize.root_scalar(fitfun, bracket=(-c - 1, 0))
-    if not res.converged:  # pragma: no cover
-        raise RuntimeError("Root finding did not converge for upper confidence interval")
-    beta_m = res.root
-
-    res = optimize.root_scalar(fitfun, bracket=(0, 2 * np.sqrt(c)))
-    if not res.converged:  # pragma: no cover
-        raise RuntimeError("Root finding did not converge for lower confidence interval")
-    beta_p = res.root
-
-    return m, m * np.exp(-beta_p), m * np.exp(-beta_m)
+    return mle, endpoint(0.5), endpoint(2.0)

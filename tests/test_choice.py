@@ -15,14 +15,14 @@ def _cs(muhat, dE=0.0, N=None, rng=None, **kw):
 
 def test_choice_distribution_concentrates_on_max():
     cs = _cs([0.0, 10.0, 0.0])
-    pk = cs.n0 / cs.samplesize
+    pk = cs.counts0 / cs.samplesize
     assert pk[1] > 0.99
 
 
 def test_dE_prefers_smaller_k():
     # k=0 within margin of k=1 -> chosen under the dE rule
     cs = _cs([9.5, 10.0, 0.0], dE=2.0)
-    pk = cs.n0 / cs.samplesize
+    pk = cs.counts0 / cs.samplesize
     assert pk[0] > 0.9
 
 

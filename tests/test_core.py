@@ -48,6 +48,19 @@ class TestSample:
             np.testing.assert_array_almost_equal(
                 logsumexp(logpost, axis=0), np.zeros(logpost.shape[1]), decimal=6)
 
+    def test_sample_reproducible_from_key(self):
+        # the key seeds device-side sampling AND the host-side choice RNG
+        traj, model = _setup()
+        kw = dict(init_runs=5,
+                  sampler_kw={"N": 10, "max_fev": 100, "max_fcomplete": 10})
+        res_a = bild.sample(traj, model, key=jax.random.key(7), **kw)
+        res_b = bild.sample(traj, model, key=jax.random.key(7), **kw)
+        for name in res_a.log:
+            np.testing.assert_array_equal(res_a.log[name], res_b.log[name])
+        np.testing.assert_array_equal(res_a.evidence, res_b.evidence)
+        np.testing.assert_array_equal(res_a.best_profile()[:],
+                                      res_b.best_profile()[:])
+
     def test_sample_small_kmax(self):
         traj, model = _setup()
         res = bild.sample(traj, model,

@@ -109,3 +109,18 @@ class TestKalmanParity:
         np.testing.assert_allclose(got, want, rtol=1e-6)
         # true profile should beat the constant ones
         assert got[0] > got[1] and got[0] > got[2]
+
+    def test_out_of_range_states_yield_nan(self, rng):
+        # a mid-profile out-of-range state must NOT return a finite,
+        # plausible value (it would silently select zeroed dynamics)
+        model = MultiStateRouse(10, 1, 5, d=1, localization_error=0.5)
+        traj = Trajectory.create(np.linspace(0.0, 1.0, 6))
+        profiles = np.array([
+            [0, 1, 1, 0, 1, 0],    # valid
+            [0, 1, 2, 0, 1, 0],    # mid-profile out of range
+            [0, 1, 1, 0, 1, -1],   # negative state
+            [2, 0, 0, 0, 0, 0],    # out-of-range initial state
+        ])
+        got = _batch_logL(model, traj, profiles)
+        assert np.isfinite(got[0])
+        assert np.all(np.isnan(got[1:]))

@@ -37,3 +37,17 @@ def test_pallas_interpret_parity_padding(rng):
     want = np.asarray(msrouse_logL_batch(*args))
     got = np.asarray(msrouse_logL_pallas(*args, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_pallas_out_of_range_states_yield_nan(rng):
+    from bild_tpu.models import MultiStateRouse
+    from bild_tpu.trajectory import Trajectory
+    model = MultiStateRouse(8, 1, 5, d=1, localization_error=0.5)
+    traj = Trajectory.create(np.linspace(0.0, 1.0, 5))
+    s2, Cind = model._noise_arrays(traj)
+    profiles = np.array([[0, 1, 1, 0, 1],
+                         [0, 1, 2, 0, 1]])
+    got = np.asarray(msrouse_logL_pallas(
+        model.Bs, model.Gs, model.Sigs, model.M0s, model.C0s,
+        model.w, s2, Cind, profiles, traj.data, traj.valid, interpret=True))
+    assert np.isfinite(got[0]) and np.isnan(got[1])
