@@ -5,20 +5,46 @@ Generic Gaussian-process model. Reference parity: ``GenericGaussianModel``,
 Pure states are Gaussian processes specified by their MSD; the likelihood of
 a profile factorizes over constant-state intervals, with trajectory
 continuity enforced by conditioning each interval on the last observation of
-the previous one (a rank-1 Schur complement of the interval covariance).
+the previous one.
 
-The interval structure is data-dependent (ragged), so covariance assembly
-runs on host; per-interval dense solves use numpy (float64 - these are
-O(len^3) on small blocks and are not the framework's hot path; the Rouse
-Kalman kernel is).
+TPU-first design
+----------------
+The reference evaluates each profile's intervals one by one with dense numpy
+solves (``bild/models.py:608-661``). Here the model is device-batched via an
+**interval table**: there are only ``nStates * T * (T+1) / 2`` distinct
+interval contributions for a trajectory of length T, each a function of
+``(state, t0, t1)`` alone. We precompute them ALL once per trajectory —
+grouped into window-length buckets, each bucket a vmapped
+Cholesky/solve over identity-padded fixed-shape blocks — and a profile
+batch's log-likelihood becomes a pure gather-sum over its interval
+decomposition (one fixed-shape device call for any number of profiles).
+
+The MSD functions are host callables, but they are only ever evaluated at
+integer lags ``0..T`` (plus the plateau at infinity), so each becomes a
+``(T+1,)`` lag table shipped to device once.
+
+Continuity conditioning on device uses the Gaussian factorization
+``log N(v; 0, C) = log N(v0; 0, C00) + log N(v_rest - v0 * C10/C00; 0, Schur)``
+— an algebraic identity for ANY vector v — with the reference's exact
+conditional (which conditions on the *raw* first datum, not the
+mean-subtracted one): set ``v = [trace_0, trace_rest - m]`` and subtract the
+``v0`` marginal.
+
+The straight host implementation is kept as `logL_host`, the float64 parity
+oracle.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
 from scipy import linalg as sp_linalg
 
+import jax
+import jax.numpy as jnp
+
+from ..config import fdtype
 from ..physics import gp
 from ..physics.rouse import two_locus_msd
 from ..profiles import Loopingprofile
@@ -28,6 +54,129 @@ from .base import MultiStateModel
 __all__ = ["GenericGaussianModel"]
 
 LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+def _masked_gaussian_logpdf(x, C, n_terms):
+    """log N(x; 0, C) where inactive rows/cols of C are identity and inactive
+    x are zero; ``n_terms`` counts the active entries for the 2-pi term."""
+    chol = jnp.linalg.cholesky(C)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    quad = x @ jax.scipy.linalg.cho_solve((chol, True), x)
+    return -0.5 * (quad + logdet + n_terms * LOG_2PI)
+
+
+@functools.partial(jax.jit, static_argnames=("ss_order", "Lb"))
+def _interval_entries(t0s, t1s, values, valid, msd_tab, plateau, mean,
+                      *, ss_order, Lb):
+    """
+    Interval log-likelihood contributions for one (state, dim).
+
+    t0s, t1s : (nc, chunk) int32 — interval starts (incl.) / ends (excl.),
+        chunked for lax.map memory control
+    values : (T,) observed values for this dim (zeros at missing frames)
+    valid : (T,) bool
+    msd_tab : (T+1,) MSD at integer lags
+    plateau : scalar, MSD(inf) (ss_order 0 only)
+    mean : scalar state mean
+    """
+    T = values.shape[0]
+    dt = values.dtype
+    eyeL = jnp.eye(Lb, dtype=dt)
+
+    def one_ss0(t0, t1):
+        t_start = jnp.maximum(t0 - 1, 0)
+        w = t_start + jnp.arange(Lb, dtype=t0.dtype)
+        act = (w < t1) & valid[jnp.minimum(w, T - 1)]
+        vals = values[jnp.minimum(w, T - 1)]
+
+        nobs = jnp.sum(act.astype(dt))
+        conditioning = (t0 > 0) & (nobs > 0)
+        # hybrid vector: raw first valid datum when conditioning, centered
+        # elsewhere (reproduces the reference's mu = trace[0] * C10/C00)
+        i0 = jnp.argmax(act)
+        first = jnp.arange(Lb) == i0
+        x = jnp.where(conditioning & first, vals, vals - mean)
+        x = jnp.where(act, x, 0.0)
+
+        lag = jnp.minimum(jnp.abs(w[:, None] - w[None, :]), T)
+        Cfull = 0.5 * (plateau - msd_tab[lag])
+        C = jnp.where(act[:, None] & act[None, :], Cfull, eyeL)
+        lp = _masked_gaussian_logpdf(x, C, nobs)
+
+        c00 = 0.5 * plateau
+        lp0 = -0.5 * (vals[i0] ** 2 / c00 + jnp.log(c00) + LOG_2PI)
+        return lp - jnp.where(conditioning, lp0, 0.0)
+
+    def one_ss1(t0, t1):
+        t_start = jnp.maximum(t0 - 1, 0)
+        w = t_start + jnp.arange(Lb, dtype=t0.dtype)
+        act = (w < t1) & valid[jnp.minimum(w, T - 1)]
+        # compact the valid frame times to the front (ascending)
+        pos = jnp.where(act, w, T + Lb)
+        v = jnp.sort(pos)
+        K = jnp.sum(act)
+        inc_act = jnp.arange(Lb - 1) < (K - 1)
+
+        xv = values[jnp.minimum(v, T - 1)]
+        x = jnp.where(inc_act, xv[1:] - xv[:-1] - mean, 0.0)
+
+        a, b = v[:-1], v[1:]
+
+        def m(p, q):
+            return msd_tab[jnp.minimum(jnp.abs(p[:, None] - q[None, :]), T)]
+
+        Cfull = 0.5 * (m(a, b) + m(b, a) - m(a, a) - m(b, b))
+        C = jnp.where(inc_act[:, None] & inc_act[None, :], Cfull,
+                      jnp.eye(Lb - 1, dtype=dt))
+        n_inc = jnp.maximum(K - 1, 0).astype(dt)
+        return _masked_gaussian_logpdf(x, C, n_inc)
+
+    one = one_ss0 if ss_order == 0 else one_ss1
+    return jax.lax.map(lambda ab: jax.vmap(one)(*ab), (t0s, t1s))
+
+
+@functools.partial(jax.jit, static_argnames=("n_states",))
+def _profile_table_sum(profiles, Vflat, n_states):
+    """
+    Gather-sum a profile batch's interval contributions from the flat table.
+
+    ``Vflat[(s*T + t0)*(T+1) + t1]`` is the contribution of interval
+    ``[t0, t1)`` in state s. Out-of-range states yield NaN (same contract as
+    the Rouse kernels).
+    """
+    P, T = profiles.shape
+    profiles = profiles.astype(jnp.int32)
+    tgrid = jnp.arange(T, dtype=jnp.int32)
+
+    start = jnp.concatenate(
+        [jnp.ones((P, 1), bool), profiles[:, 1:] != profiles[:, :-1]], axis=1)
+    idx = jnp.where(start, tgrid[None, :], T)
+    # end of the interval starting at t = the next start strictly after t
+    suffix_min = jax.lax.associative_scan(
+        jnp.minimum, idx[:, ::-1], axis=1)[:, ::-1]
+    nxt = jnp.concatenate(
+        [suffix_min[:, 1:], jnp.full((P, 1), T, dtype=jnp.int32)], axis=1)
+
+    safe_s = jnp.clip(profiles, 0, n_states - 1)
+    flat = (safe_s * T + tgrid[None, :]) * (T + 1) + nxt
+    total = jnp.sum(jnp.take(Vflat, flat) * start, axis=1)
+
+    in_range = jnp.all((profiles >= 0) & (profiles < n_states), axis=1)
+    return jnp.where(in_range, total, jnp.nan)
+
+
+def _length_buckets(max_len):
+    out = []
+    b = 8
+    while b < max_len:
+        out.append(b)
+        b *= 2
+    out.append(b)
+    return out
 
 
 class GenericGaussianModel(MultiStateModel):
@@ -42,13 +191,9 @@ class GenericGaussianModel(MultiStateModel):
         self.state_spec = np.asarray(state_spec, dtype=object)
         assert len(self.state_spec.shape) == 3
         self.init_transitions(self.state_spec.shape[0])
-        # per-interval likelihood cache: profile likelihoods decompose over
-        # constant-state intervals, and AMIS proposals re-visit the same
-        # intervals constantly -- memoizing the interval contribution makes
-        # batched evaluation tractable without a device formulation of the
-        # (inherently ragged) blockwise GP likelihood
-        self._interval_memo = {}
-        self._memo_traj = None
+        # single-slot interval-table cache (keyed on the trajectory's data
+        # array identity): bounded by construction, unlike a growing memo
+        self._table_cache = None
 
     # -- MSD constructors (reference ``bild/models.py:583-599``) -----------
     @staticmethod
@@ -78,63 +223,147 @@ class GenericGaussianModel(MultiStateModel):
         raise NotImplementedError
 
     def clear_memo(self):
-        self._interval_memo = {}
-        self._memo_traj = None
+        self._table_cache = None
 
-    # -- likelihood (reference ``bild/models.py:608-661``) -----------------
-    def _interval_logL(self, trajdata, t0, t1, n, is_first) -> float:
-        """Likelihood contribution of frames [t_start, t1) in state ``n``,
-        conditioned on the last frame of the previous interval unless
-        ``is_first``."""
-        key = (t0, t1, n, is_first)
-        if key in self._interval_memo:
-            return self._interval_memo[key]
+    # -- device interval table ---------------------------------------------
+    def interval_table(self, traj) -> jax.Array:
+        """``(n, T, T+1)`` table of interval log-likelihood contributions;
+        entry ``[s, t0, t1]`` covers frames ``[t0, t1)`` in state s with the
+        continuity conditioning applied whenever ``t0 > 0``."""
+        if self._table_cache is not None and self._table_cache[0] is traj.data:
+            return self._table_cache[1]
+        V = self._build_interval_table(np.asarray(traj.data),
+                                       np.asarray(traj.valid))
+        self._table_cache = (traj.data, V)
+        return V
 
-        t_start = t0 if is_first else t0 - 1  # continuity conditioning
-        logL = 0.0
-        for dim in range(self.d):
-            trace = trajdata[t_start:t1][:, dim]
-            ti = np.nonzero(~np.isnan(trace))[0]
-            trace = trace[ti]
+    def _build_interval_table(self, data, valid) -> jax.Array:
+        T, d = data.shape
+        n = self.nStates
+        dt = fdtype()
 
-            msd_fun, m, ss_order = self.state_spec[n, dim]
-            C = gp.msd2C(msd_fun, ti, ss_order)
+        # MSD lag tables: the only host evaluation of the user's callables
+        lags = np.arange(T + 1, dtype=float)
+        msd_tabs = np.empty((n, d, T + 1))
+        plateaus = np.zeros((n, d))
+        for s in range(n):
+            for dim in range(d):
+                msd_fun, _, sso = self.state_spec[s, dim]
+                msd_tabs[s, dim] = msd_fun(lags)
+                if sso == 0:
+                    plateaus[s, dim] = float(msd_fun(np.inf))
 
-            if ss_order == 0:
-                x = trace - m
-                if not is_first:
-                    # condition on the last datum of the previous interval
-                    mu = trace[0] * C[1:, 0] / C[0, 0]
-                    x = x[1:] - mu
-                    C = C - C[:, [0]] * C[[0], :] / C[0, 0]
-                    C = C[1:, 1:]
-            elif ss_order == 1:
-                x = np.diff(trace) - m
-            else:  # pragma: no cover
-                raise ValueError(f"ss_order should be 0 or 1; got {ss_order}")
+        # static (t0, t1) pair lists, bucketed by conditioning-window length
+        buckets = {}
+        for t0 in range(T):
+            for t1 in range(t0 + 1, T + 1):
+                wlen = t1 - (t0 - 1 if t0 > 0 else 0)
+                buckets.setdefault(
+                    next(b for b in _length_buckets(T + 1) if b >= wlen),
+                    []).append((t0, t1))
 
-            _, logdet = np.linalg.slogdet(C)
-            xCx = x @ np.linalg.solve(C, x)
-            logL += -0.5 * (xCx + logdet + len(C) * LOG_2PI)
+        values = jnp.asarray(data, dtype=dt)
+        valid_j = jnp.asarray(valid)
+        V = np.zeros((n, T, T + 1))
 
-        self._interval_memo[key] = float(logL)
-        return self._interval_memo[key]
+        for Lb, pairs in buckets.items():
+            t0s = np.fromiter((p[0] for p in pairs), dtype=np.int32)
+            t1s = np.fromiter((p[1] for p in pairs), dtype=np.int32)
+            chunk = int(min(2048, max(8, (1 << 21) // (Lb * Lb))))
+            n_pad = -len(pairs) % chunk
+            t0p = np.concatenate([t0s, np.zeros(n_pad, np.int32)]).reshape(-1, chunk)
+            t1p = np.concatenate([t1s, np.ones(n_pad, np.int32)]).reshape(-1, chunk)
+            t0j, t1j = jnp.asarray(t0p), jnp.asarray(t1p)
 
+            for s in range(n):
+                acc = np.zeros(t0p.size)
+                for dim in range(d):
+                    _, mean, sso = self.state_spec[s, dim]
+                    ent = _interval_entries(
+                        t0j, t1j, values[:, dim], valid_j,
+                        jnp.asarray(msd_tabs[s, dim], dtype=dt),
+                        jnp.asarray(plateaus[s, dim], dtype=dt),
+                        jnp.asarray(mean, dtype=dt),
+                        ss_order=int(sso), Lb=Lb)
+                    acc += np.asarray(ent, dtype=float).ravel()
+                V[s, t0s, t1s] = acc[: len(pairs)]
+
+        return jnp.asarray(V, dtype=dt)
+
+    # -- likelihood ---------------------------------------------------------
     def logL(self, profile, traj) -> float:
-        if self._memo_traj is not traj and self._memo_traj != traj:
-            self._interval_memo = {}
-            self._memo_traj = traj
+        return float(self.logL_batch(np.asarray(profile)[None, :], traj)[0])
 
+    def logL_batch(self, profiles, traj) -> jax.Array:
+        V = self.interval_table(traj)
+        profiles = jnp.asarray(profiles, dtype=jnp.int32)
+        return _profile_table_sum(profiles, V.reshape(-1), self.nStates)
+
+    def logL_host(self, profile, traj) -> float:
+        """Float64 host oracle: the straight blockwise algorithm of reference
+        ``bild/models.py:608-661`` (parity target for the device table)."""
         profile = Loopingprofile(np.asarray(profile))
         ivs = profile.intervals()
         ivs[0] = (0, ivs[0][1], ivs[0][2])
         ivs[-1] = (ivs[-1][0], len(profile), ivs[-1][2])
 
         trajdata = traj[:]  # NaN-sentinel (T, d) view
-        return float(sum(
-            self._interval_logL(trajdata, t0, t1, n, i == 0)
-            for i, (t0, t1, n) in enumerate(ivs)
-        ))
+        logL = 0.0
+        for i, (t0, t1, n) in enumerate(ivs):
+            t_start = t0 if i == 0 else t0 - 1
+            for dim in range(self.d):
+                trace = trajdata[t_start:t1][:, dim]
+                ti = np.nonzero(~np.isnan(trace))[0]
+                trace = trace[ti]
+                if len(trace) == 0:
+                    # no observations in the window -> no contribution (the
+                    # reference would crash here; the device table returns 0)
+                    continue
+
+                msd_fun, m, ss_order = self.state_spec[n, dim]
+                C = gp.msd2C(msd_fun, ti, ss_order)
+
+                if ss_order == 0:
+                    x = trace - m
+                    if i > 0:
+                        mu = trace[0] * C[1:, 0] / C[0, 0]
+                        x = x[1:] - mu
+                        C = C - C[:, [0]] * C[[0], :] / C[0, 0]
+                        C = C[1:, 1:]
+                elif ss_order == 1:
+                    x = np.diff(trace) - m
+                else:  # pragma: no cover
+                    raise ValueError(f"ss_order should be 0 or 1; got {ss_order}")
+
+                _, logdet = np.linalg.slogdet(C)
+                xCx = x @ np.linalg.solve(C, x)
+                logL += -0.5 * (xCx + logdet + len(C) * LOG_2PI)
+        return float(logL)
+
+    # -- lockstep hooks -------------------------------------------------------
+    def lockstep_fns(self, batch):
+        """
+        Lockstep-mode hooks (see ``MultiStateRouse.lockstep_fns``): the
+        per-trajectory data is the flattened interval table; the traceable
+        likelihood is the gather-sum `_profile_table_sum`.
+        """
+        B = batch.data.shape[0]
+        tables = jnp.stack([
+            self._build_interval_table(np.asarray(batch.data[b]),
+                                       np.asarray(batch.valid[b])).reshape(-1)
+            for b in range(B)
+        ])
+
+        if not hasattr(self, "_lockstep_logL_fn"):
+            n = self.nStates
+
+            def logL_fn(profiles, per_traj):
+                (Vflat,) = per_traj
+                return _profile_table_sum(profiles, Vflat, n)
+
+            self._lockstep_logL_fn = logL_fn
+
+        return (tables,), self._lockstep_logL_fn
 
     # -- generative model (reference ``bild/models.py:663-728``) -----------
     def trajectory_from_loopingprofile(self, profile, missing_frames=None,

@@ -1,0 +1,110 @@
+"""Device interval-table GGM vs the float64 host oracle (`logL_host`), plus
+lockstep hooks and full inference. The oracle is the straight blockwise
+algorithm of reference bild/models.py:608-661."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import bild_tpu as bild
+from bild_tpu.models import GenericGaussianModel as GGM
+from bild_tpu.trajectory import Trajectory
+
+
+def _mixed_model():
+    return GGM([
+        [(GGM.MSD_function_twoLocusRouse(G=1.0, J=5.0), 0.3, 0),
+         (GGM.MSD_function_powerlaw(G=1.0, a=0.7), 0.0, 1)],
+        [(GGM.MSD_function_twoLocusRouse(G=2.0, J=1.0), -0.1, 0),
+         (GGM.MSD_function_powerlaw(G=0.5, a=1.0), 0.1, 1)],
+    ])
+
+
+class TestIntervalTableParity:
+    def test_mixed_orders_missing_frames(self, rng):
+        model = _mixed_model()
+        T = 23
+        data = rng.normal(size=(T, 2))
+        data[[0, 3, 4, 11], :] = np.nan  # incl. missing first frame
+        traj = Trajectory.create(data)
+        profiles = rng.integers(0, 2, size=(30, T))
+
+        dev = np.asarray(model.logL_batch(profiles, traj))
+        host = np.array([model.logL_host(p, traj) for p in profiles])
+        np.testing.assert_allclose(dev, host, rtol=1e-9)
+
+    def test_three_states_imaging(self, rng):
+        # noise2/motion blur exercised through the lag tables
+        model = GGM([
+            [(GGM.MSD_function_twoLocusRouse(G=g, J=j, noise2=0.01,
+                                             motion_blur_f=0.5), 0.0, 0)]
+            for g, j in [(1.0, 5.0), (2.0, 1.0), (0.5, 0.5)]
+        ])
+        T = 17
+        traj = Trajectory.create(rng.normal(size=(T, 1)))
+        profiles = rng.integers(0, 3, size=(20, T))
+        dev = np.asarray(model.logL_batch(profiles, traj))
+        host = np.array([model.logL_host(p, traj) for p in profiles])
+        np.testing.assert_allclose(dev, host, rtol=1e-9)
+
+    def test_table_cache_and_clear(self, rng):
+        model = _mixed_model()
+        traj = Trajectory.create(rng.normal(size=(10, 2)))
+        a = model.logL(np.zeros(10, int), traj)
+        assert model._table_cache is not None
+        model.clear_memo()
+        b = model.logL(np.zeros(10, int), traj)
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+        traj2 = Trajectory.create(rng.normal(size=(10, 2)))
+        c = model.logL(np.zeros(10, int), traj2)
+        assert not np.isclose(a, c)
+
+    def test_out_of_range_states_yield_nan(self, rng):
+        model = _mixed_model()
+        traj = Trajectory.create(rng.normal(size=(8, 2)))
+        profiles = np.array([[0, 1, 1, 0, 0, 1, 0, 0],
+                             [0, 1, 2, 0, 0, 1, 0, 0],
+                             [0, 1, 1, 0, 0, 1, 0, -1]])
+        out = np.asarray(model.logL_batch(profiles, traj))
+        assert np.isfinite(out[0]) and np.all(np.isnan(out[1:]))
+
+
+class TestLockstep:
+    def test_lockstep_fns_match_host(self, rng):
+        from bild_tpu.parallel.batch import TrajectoryBatch
+        model = _mixed_model()
+        T, B = 12, 3
+        data = rng.normal(size=(B, T, 2))
+        trajs = [Trajectory.create(data[b]) for b in range(B)]
+        batch = TrajectoryBatch(
+            data=jnp.stack([t.data for t in trajs]),
+            valid=jnp.stack([t.valid for t in trajs]))
+        per_traj, fn = model.lockstep_fns(batch)
+        profiles = rng.integers(0, 2, size=(7, T))
+        for b in range(B):
+            got = np.asarray(fn(jnp.asarray(profiles),
+                                jax.tree_util.tree_map(lambda x: x[b], per_traj)))
+            want = np.array([model.logL_host(p, trajs[b]) for p in profiles])
+            np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+class TestGGMInference:
+    def test_sample_end_to_end(self, rng):
+        # full adaptive inference with GGM as the model (device path +
+        # fused sampler step via lockstep_fns_single)
+        model = GGM([
+            [(GGM.MSD_function_twoLocusRouse(G=1.0, J=20.0), 0.0, 0)],
+            [(GGM.MSD_function_twoLocusRouse(G=1.0, J=0.5), 0.0, 0)],
+        ])
+        true = np.zeros(20, dtype=int)
+        true[8:15] = 1
+        traj = model.trajectory_from_loopingprofile(
+            true, rng=np.random.default_rng(5))
+        res = bild.sample(traj, model, init_runs=5,
+                          sampler_kw={"N": 20, "max_fev": 400},
+                          k_max=4, key=jax.random.key(2))
+        assert len(res.k) >= 2
+        assert np.all(np.isfinite(res.evidence))
+        # the inferred profile should broadly recover the switch structure
+        best = np.asarray(res.best_profile()[:])
+        assert best.shape == (20,)
