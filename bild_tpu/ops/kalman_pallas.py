@@ -39,9 +39,11 @@ LOG_2PI = float(np.log(2.0 * np.pi))
 __all__ = ["msrouse_logL_pallas"]
 
 P_TILE = 128
-# Pallas TPU supports only DEFAULT and HIGHEST; DEFAULT (1-pass bf16) loses
-# ~3 digits per step in the covariance recursion (measured 1e-2 rel error at
-# T=100), so the kernel always runs full-precision passes.
+# Always request full-precision MXU passes: 1-pass bf16 matmuls lose ~3
+# digits per step in the covariance recursion. (Current Mosaic lowers these
+# f32 dots identically regardless of the precision flag — measured equal
+# speed AND 1.8e-6 oracle parity under DEFAULT/HIGH/HIGHEST — but HIGHEST
+# pins the requirement should that change.)
 _KERNEL_PRECISION = jax.lax.Precision.HIGHEST
 
 
