@@ -16,7 +16,10 @@ native:
 	    -o bild_tpu/native/_loader.so bild_tpu/native/loader.cpp
 
 docs:
-	$(PY) -m sphinx -b html docs/ docs/_build/html
+	@$(PY) -c "import sphinx" 2>/dev/null \
+	    && $(PY) -m sphinx -b html docs/ docs/_build/html \
+	    || echo "sphinx not installed in this environment; docs/ sources are \
+ready (pip install sphinx && make docs)"
 
 clean:
 	rm -rf bild_tpu/native/_loader.so **/__pycache__ .pytest_cache docs/_build

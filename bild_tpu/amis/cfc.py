@@ -27,7 +27,14 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
-__all__ = ["CFC", "cfc_sample", "cfc_logpmf", "cfc_estimate"]
+__all__ = ["CFC", "SampleSpaceTooLarge", "cfc_sample", "cfc_logpmf",
+           "cfc_estimate"]
+
+
+class SampleSpaceTooLarge(ValueError):
+    """`CFC.full_sample` would exceed its Nmax. A ValueError subclass so
+    callers can distinguish it from genuine errors raised inside model
+    likelihoods during exhaustive enumeration."""
 
 # NB: the sampling/evaluation/estimation functions accept an optional
 # ``active`` boolean mask over the K slot axis (padded-k mode): inactive
@@ -306,7 +313,8 @@ class CFC:
         """
         N = self.N_total(k)
         if N > Nmax:
-            raise ValueError(f"Full sample would be {N} > Nmax = {Nmax} traces")
+            raise SampleSpaceTooLarge(
+                f"Full sample would be {N} > Nmax = {Nmax} traces")
 
         allowed = [np.nonzero(self.transitions[i])[0].tolist() for i in range(self.n)]
         rows = [[s] for s in range(self.n)]

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from ..config import fdtype
 from ..profiles import Loopingprofile, st2profile
-from .cfc import CFC, cfc_sample, cfc_logpmf, cfc_estimate
+from .cfc import CFC, SampleSpaceTooLarge, cfc_sample, cfc_logpmf, cfc_estimate
 from .dirichlet import (dirichlet_logpdf, dirichlet_estimate,
                         dirichlet_sample_masked)
 
@@ -103,6 +103,20 @@ def informed_proposal(fracs, theta, n, T):
     a = np.maximum(conc * fracs, 0.05)
     p = np.full((n, k1), 0.2 / max(n - 1, 1))
     p[theta, np.arange(k1)] = 0.8
+    return a, np.log(p)
+
+
+def informed_proposal_batch(fracs, theta, n, T):
+    """`informed_proposal` vectorized over a batch: ``fracs/theta (B, k+1)``
+    -> ``(a (B, k+1), logp (B, n, k+1))``. Same constants, no per-row loop
+    (the dataset informed-init path calls this once per k for all B)."""
+    fracs = np.asarray(fracs, dtype=float)
+    theta = np.asarray(theta, dtype=int)
+    B, k1 = fracs.shape
+    conc = k1 * max(2.0, float(np.sqrt(T)))
+    a = np.maximum(conc * fracs, 0.05)
+    p = np.full((B, n, k1), 0.2 / max(n - 1, 1))
+    np.put_along_axis(p, theta[:, None, :], 0.8, axis=1)
     return a, np.log(p)
 
 
@@ -261,8 +275,12 @@ def amis_update(state: AmisState, ss_new, th_new, logL_new, transitions,
 
 # fused steps are cached by (logL_fn identity, N, T): models hand out STABLE
 # logL_fn objects (cached on the model instance), so re-creating samplers for
-# the same model re-uses compiled steps instead of re-tracing per sampler
+# the same model re-uses compiled steps instead of re-tracing per sampler.
+# Bounded LRU (entries retain logL_fn closures + compiled executables; an
+# unbounded cache would leak in long-running jobs that churn through models
+# or per-trajectory noise configurations).
 _FUSED_STEPS = {}
+_FUSED_STEPS_MAX = 32
 
 
 def _make_fused_step(logL_fn, N: int, T: int):
@@ -273,6 +291,8 @@ def _make_fused_step(logL_fn, N: int, T: int):
     cache_key = (logL_fn, N, T)
     if cache_key in _FUSED_STEPS:
         return _FUSED_STEPS[cache_key]
+    while len(_FUSED_STEPS) >= _FUSED_STEPS_MAX:
+        _FUSED_STEPS.pop(next(iter(_FUSED_STEPS)))
 
     @jax.jit
     def step(state, key, transitions, logprior, cb, pb, active, per_traj):
@@ -396,9 +416,11 @@ class FixedkSampler:
 
         try:
             self.fix_exhaustive()
-        except ValueError:
-            # ExhaustionImpractical, or full_sample refusing (the latter is a
-            # latent crash in the reference when max_fcomplete < nStates)
+        except (self.ExhaustionImpractical, SampleSpaceTooLarge):
+            # space too large to enumerate -> fall back to AMIS stepping.
+            # (full_sample refusing is a latent crash in the reference when
+            # max_fcomplete < nStates.) Other errors — e.g. a genuine
+            # ValueError inside model.logL_batch — propagate.
             pass
 
     # -- parameter conversion (host convenience) ---------------------------

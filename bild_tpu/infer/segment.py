@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["dp_segment", "dp_segment_all", "profile_to_st"]
+__all__ = ["dp_segment", "dp_segment_all", "dp_segment_all_batch",
+           "profile_to_st", "profiles_to_st_batch"]
 
 # Sentinel for -inf / NaN score entries. Must be large enough that such a
 # frame-state is never chosen when alternatives exist, yet small enough that
@@ -35,6 +36,24 @@ def profile_to_st(profile):
     T = len(profile)
     bounds = np.concatenate([[0], np.nonzero(np.diff(profile))[0] + 1, [T]])
     return np.diff(bounds) / T, profile[bounds[:-1]]
+
+
+def profiles_to_st_batch(profiles, k):
+    """
+    Vectorized `profile_to_st` for a ``(B, T)`` batch of profiles that each
+    have EXACTLY ``k`` switches (the fixed-k output of
+    `dp_segment_all_batch`). Returns ``(fracs (B, k+1), theta (B, k+1))``.
+    """
+    profiles = np.asarray(profiles, dtype=int)
+    B, T = profiles.shape
+    is_switch = profiles[:, 1:] != profiles[:, :-1]
+    assert np.all(np.sum(is_switch, axis=1) == k), \
+        "every profile must have exactly k switches"
+    cuts = (np.nonzero(is_switch)[1] + 1).reshape(B, k)
+    bounds = np.concatenate(
+        [np.zeros((B, 1), int), cuts, np.full((B, 1), T)], axis=1)
+    return (np.diff(bounds, axis=1) / T,
+            np.take_along_axis(profiles, bounds[:, :-1], axis=1))
 
 
 def dp_segment(table, k, transitions=None):
@@ -139,3 +158,88 @@ def dp_segment_all(table, k_max, transitions=None):
         profile[: t + 1] = s
         profiles.append(profile)
     return profiles, scores
+
+
+def dp_segment_all_batch(tables, k_max, transitions=None):
+    """
+    `dp_segment_all` vectorized over a batch of score tables — the
+    dataset-mode informed-init path (a serial per-trajectory sweep would put
+    minutes of single-thread host work in front of the TPU at B ~ 10k).
+
+    Parameters
+    ----------
+    tables : (B, n, T) float
+    k_max : int
+    transitions : (n, n) bool or None
+
+    Returns
+    -------
+    profiles : (k_max+1, B, T) int
+        optimal exactly-k-switch profile per (k, trajectory); rows where
+        ``feasible`` is False are filler (all zeros)
+    feasible : (k_max+1, B) bool
+    """
+    tables = np.nan_to_num(np.asarray(tables, dtype=float),
+                           nan=0.0, posinf=-_SCORE_FLOOR, neginf=_SCORE_FLOOR)
+    tables = np.clip(tables, _SCORE_FLOOR, -_SCORE_FLOOR)
+    B, n, T = tables.shape
+    if transitions is None:
+        transitions = ~np.eye(n, dtype=bool)
+    transitions = np.asarray(transitions, dtype=bool)
+
+    prefix = np.concatenate(
+        [np.zeros((B, n, 1)), np.cumsum(tables, axis=2)], axis=2)  # (B, n, T+1)
+    prefix_t = np.swapaxes(prefix[:, :, 1:], 1, 2)                 # (B, T, n)
+
+    NEG = -np.inf
+    D = prefix_t.copy()                      # (B, T, s): layer j=0
+    parents = []                             # per layer: (argrun, arg_sprev)
+    finals = [D[:, T - 1].copy()]            # per layer: (B, n)
+
+    tgrid = np.arange(T - 1)
+    for _ in range(1, k_max + 1):
+        Dp = np.where(np.isfinite(D), D, NEG)                      # (B, T, s')
+        # best allowed predecessor per target state, all states at once:
+        # vals[b, t, s', s] = Dp[b, t, s'] masked by transitions[s', s]
+        vals = np.where(transitions[None, None, :, :],
+                        Dp[:, :, :, None], NEG)                    # (B, T, s', s)
+        arg_sprev = np.argmax(vals, axis=2)                        # (B, T, s)
+        cand = np.take_along_axis(vals, arg_sprev[:, :, None, :],
+                                  axis=2)[:, :, 0, :]              # (B, T, s)
+        adj = cand - prefix_t                                      # (B, t', s)
+        run = np.maximum.accumulate(adj[:, :-1], axis=1)           # (B, T-1, s)
+        better = np.concatenate(
+            [np.ones((B, 1, n), bool), adj[:, 1:-1] > run[:, :-1]], axis=1)
+        argrun = np.where(better, tgrid[None, :, None], 0)
+        argrun = np.maximum.accumulate(argrun, axis=1)             # (B, T-1, s)
+
+        D = np.full((B, T, n), NEG)
+        D[:, 1:] = run + np.swapaxes(prefix[:, :, 2:], 1, 2)
+        parents.append((argrun, arg_sprev))
+        finals.append(D[:, T - 1].copy())
+
+    profiles = np.zeros((k_max + 1, B, T), dtype=int)
+    feasible = np.zeros((k_max + 1, B), dtype=bool)
+    frames = np.arange(T)
+    brange = np.arange(B)
+    for k in range(k_max + 1):
+        ok = np.any(np.isfinite(finals[k]), axis=1) & (k < T)      # (B,)
+        feasible[k] = ok
+        if not np.any(ok):
+            continue
+        with np.errstate(invalid="ignore"):
+            s = np.argmax(np.where(np.isfinite(finals[k]), finals[k], NEG),
+                          axis=1)                                  # (B,)
+        t = np.full(B, T - 1)
+        prof = profiles[k]
+        for j in range(k, 0, -1):
+            argrun, arg_sprev = parents[j - 1]
+            t_switch = argrun[brange, np.maximum(t - 1, 0), s]     # (B,)
+            seg = (frames[None, :] >= (t_switch + 1)[:, None]) \
+                & (frames[None, :] <= t[:, None])
+            prof[:] = np.where(seg & ok[:, None], s[:, None], prof)
+            s = np.where(ok, arg_sprev[brange, t_switch, s], s)
+            t = t_switch
+        head = frames[None, :] <= t[:, None]
+        prof[:] = np.where(head & ok[:, None], s[:, None], prof)
+    return profiles, feasible

@@ -72,7 +72,9 @@ def load_trajectories_csv_python(path, two_locus=False, localization_error=None,
                     vals.append(np.nan)
             if not vals:
                 continue
-            n_values = n_values or len(vals)
+            # MAX row width across the table: a short first row must not
+            # silently truncate later rows' columns
+            n_values = max(n_values, len(vals))
             groups.setdefault(tid, []).append((frame, vals))
 
     ids = sorted(groups)

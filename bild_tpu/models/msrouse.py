@@ -20,6 +20,7 @@ from ..profiles import Loopingprofile
 from ..trajectory import Trajectory
 from ..ops.kalman import msrouse_logL_batch
 from ..ops.kalman_pallas import msrouse_logL_pallas
+from ..ops.assoc_kalman import msrouse_logL_assoc
 from .base import MultiStateModel
 
 __all__ = ["MultiStateRouse"]
@@ -143,6 +144,43 @@ class MultiStateRouse(MultiStateModel):
             return msrouse_logL_pallas(*args)
         return msrouse_logL_batch(*args)
 
+    def logL_batch_assoc(self, profiles, traj, mesh=None, time_axis="time"):
+        """
+        ``(P,)`` log-likelihoods via the temporal-parallel associative-scan
+        filter (`bild_tpu.ops.assoc_kalman`) — the sequence-parallelism path
+        for very long trajectories.
+
+        On a single chip the sequential kernels win whenever a profile batch
+        exists to saturate the device (measured guidance in
+        ``ops/assoc_kalman.py``), so this is NOT auto-dispatched; use it when
+        ``T`` exceeds one chip's latency/memory budget and you have a
+        ``mesh`` with a time axis: frames are then sharded over
+        ``mesh.shape[time_axis]`` devices and the O(log T) composition rides
+        XLA collectives.
+        """
+        s2, Cind = self._noise_arrays(traj)
+        Cind = jnp.asarray(Cind)
+        profiles = jnp.asarray(profiles, dtype=jnp.int32)
+
+        def fn(profs, ydata, valid):
+            return jax.vmap(lambda p: msrouse_logL_assoc(
+                self.Bs, self.Gs, self.Sigs, self.M0s, self.C0s,
+                self.w, s2, Cind, p, ydata, valid))(profs)
+
+        if mesh is None:
+            return fn(profiles, traj.data, traj.valid)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        t_sh = NamedSharding(mesh, P(time_axis))
+        td_sh = NamedSharding(mesh, P(time_axis, None))
+        pt_sh = NamedSharding(mesh, P(None, time_axis))
+        rep = NamedSharding(mesh, P())
+        sharded = jax.jit(fn, in_shardings=(pt_sh, td_sh, t_sh),
+                          out_shardings=rep)
+        return sharded(jax.device_put(profiles, pt_sh),
+                       jax.device_put(traj.data, td_sh),
+                       jax.device_put(traj.valid, t_sh))
+
     def lockstep_fns(self, batch):
         """
         Lockstep-mode hooks: ``(per_traj, logL_fn)`` where ``per_traj`` is a
@@ -187,6 +225,10 @@ class MultiStateRouse(MultiStateModel):
         if not hasattr(self, "_single_fns"):
             self._single_fns = {}
         if err_key not in self._single_fns:
+            # bounded: datasets with per-trajectory noise would otherwise
+            # accumulate one closure (+ downstream compiled step) per value
+            while len(self._single_fns) >= 16:
+                self._single_fns.pop(next(iter(self._single_fns)))
             s2, Cind = self._noise_arrays(traj)
             Bs, Gs, Sigs, M0s, C0s, w = (self.Bs, self.Gs, self.Sigs,
                                          self.M0s, self.C0s, self.w)
@@ -321,7 +363,8 @@ class MultiStateRouse(MultiStateModel):
 
         keys = jax.random.split(key, B)
         data = jax.jit(jax.vmap(gen_one))(profiles, keys)
-        return TrajectoryBatch(data=data, valid=jnp.ones((B, T), dtype=bool))
+        return TrajectoryBatch(data=data, valid=jnp.ones((B, T), dtype=bool),
+                               lengths=jnp.full((B,), T))
 
     def toFactorized(self):
         """

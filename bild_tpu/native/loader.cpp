@@ -98,7 +98,10 @@ bool parse_chunk(const char* begin, const char* end, int* n_values, Groups* out)
                 cursor = next;
             }
             if (!row.vals.empty()) {
-                if (*n_values == 0) *n_values = static_cast<int>(row.vals.size());
+                // track the MAX row width: a short first row must not
+                // silently truncate later rows' columns
+                if (static_cast<int>(row.vals.size()) > *n_values)
+                    *n_values = static_cast<int>(row.vals.size());
                 (*out)[static_cast<int64_t>(id_d)].push_back(std::move(row));
             }
         }
@@ -148,7 +151,7 @@ int bild_csv_load(const char* path, void** out_handle) {
 
     auto* ds = new Dataset();
     for (unsigned i = 0; i < n_threads; ++i)
-        if (n_vals[i] > 0) { ds->n_values = n_vals[i]; break; }
+        ds->n_values = std::max(ds->n_values, n_vals[i]);
 
     // merge partial groups
     Groups merged;

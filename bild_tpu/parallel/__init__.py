@@ -1,3 +1,3 @@
 from .batch import (TrajectoryBatch, BatchResults, stack_trajectories,  # noqa: F401
-                    bucket_trajectories, sample_batch)
+                    bucket_trajectories, pad_batch_rows, sample_batch)
 from .mesh import make_mesh, shard_batch  # noqa: F401

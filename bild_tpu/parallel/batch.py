@@ -32,17 +32,22 @@ from ..profiles import st2profile
 from ..trajectory import Trajectory
 
 __all__ = ["TrajectoryBatch", "BatchResults", "stack_trajectories",
-           "bucket_trajectories", "sample_batch"]
+           "bucket_trajectories", "pad_batch_rows", "sample_batch"]
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TrajectoryBatch:
     """A stacked, padded batch of trajectories: ``data (B, T, d)``,
-    ``valid (B, T)`` (padding frames are simply invalid)."""
+    ``valid (B, T)`` (padding frames are simply invalid), and optional
+    ``lengths (B,)`` — each trajectory's TRUE frame count, which the
+    ``k >= len(traj)`` unidentifiability guard needs (a short trajectory
+    padded into a long bucket must not earn finite evidence for k at or
+    beyond its own frame count)."""
 
     data: jax.Array
     valid: jax.Array
+    lengths: Optional[jax.Array] = None
 
     @property
     def B(self):
@@ -69,7 +74,23 @@ def stack_trajectories(trajs: Sequence[Trajectory], T_pad: Optional[int] = None)
         data[i, : len(t)] = np.asarray(t.data)
         valid[i, : len(t)] = np.asarray(t.valid)
     return TrajectoryBatch(data=jnp.asarray(data, dtype=fdtype()),
-                           valid=jnp.asarray(valid))
+                           valid=jnp.asarray(valid),
+                           lengths=jnp.asarray([len(t) for t in trajs]))
+
+
+def pad_batch_rows(batch: TrajectoryBatch, n_rows: int) -> TrajectoryBatch:
+    """Append ``n_rows`` all-invalid filler trajectories (length 0), e.g. to
+    make B divisible by a mesh axis. Strip the corresponding result rows."""
+    if n_rows == 0:
+        return batch
+    B, T = batch.B, batch.T
+    data = jnp.concatenate(
+        [batch.data, jnp.zeros((n_rows, T, batch.data.shape[2]),
+                               dtype=batch.data.dtype)])
+    valid = jnp.concatenate([batch.valid, jnp.zeros((n_rows, T), dtype=bool)])
+    lengths = (jnp.full(B, T) if batch.lengths is None else batch.lengths)
+    lengths = jnp.concatenate([lengths, jnp.zeros(n_rows, dtype=lengths.dtype)])
+    return TrajectoryBatch(data=data, valid=valid, lengths=lengths)
 
 
 def bucket_trajectories(trajs: Sequence[Trajectory], bucket_edges=(64, 128, 256, 512, 1024)):
@@ -153,14 +174,19 @@ class BatchResults:
 
 # lockstep runners are cached by (logL_fn identity, shape config): with
 # padded-k parameter arrays, ONE compiled program serves every k <= k_max
-# (per-k XLA compiles dominated dataset wall time on remote TPUs)
+# (per-k XLA compiles dominated dataset wall time on remote TPUs). Bounded
+# LRU: entries retain closures + compiled executables, and datasets with
+# many ragged length buckets would otherwise grow memory without bound.
 _LOCKSTEP_RUNNERS = {}
+_LOCKSTEP_RUNNERS_MAX = 32
 
 
 def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals):
     cache_key = (logL_fn, T, n, N, S, steps, K1, marginals)
     if cache_key in _LOCKSTEP_RUNNERS:
         return _LOCKSTEP_RUNNERS[cache_key]
+    while len(_LOCKSTEP_RUNNERS) >= _LOCKSTEP_RUNNERS_MAX:
+        _LOCKSTEP_RUNNERS.pop(next(iter(_LOCKSTEP_RUNNERS)))
 
     def run_one(per_traj, key, transitions, a0, logp0, a_inf, logp_inf,
                 use_informed, active, logprior, conc_brake_N, pol_brake_N):
@@ -214,6 +240,40 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals):
     return runner
 
 
+def _informed_proposals_all_k(model, batch, K1, n, T):
+    """
+    Vectorized informed-init: one batched DP sweep for every trajectory and
+    every k, then batched (s, theta) -> proposal-parameter conversion.
+    Returns ``(a_inf (K1, B, K1), logp_inf (K1, B, n, K1), use (K1, B))`` or
+    ``None`` if the model has no frame-factorized score tables.
+    """
+    seg_tables = model.lockstep_segment_tables(batch)
+    if seg_tables is None:
+        return None
+    from ..amis.sampler import informed_proposal_batch
+    from ..infer.segment import dp_segment_all_batch, profiles_to_st_batch
+
+    B = batch.B
+    profs, feas = dp_segment_all_batch(np.asarray(seg_tables), K1 - 1,
+                                       model.transitions)
+    a_inf = np.ones((K1, B, K1))
+    logp_inf = np.full((K1, B, n, K1), -math.log(n))
+    for k in range(K1):
+        ok = feas[k]
+        if not np.any(ok):
+            continue
+        fracs, theta = profiles_to_st_batch(profs[k][ok], k)
+        a_k, logp_k = informed_proposal_batch(fracs, theta, n, T)
+        a_inf[k][ok, : k + 1] = a_k
+        logp_inf[k][ok, :, : k + 1] = logp_k
+    return a_inf, logp_inf, feas
+
+
+def _checkpoint_config(batch, k_max, steps_per_k, N, marginals, informed_init):
+    return np.array([batch.B, batch.T, k_max, steps_per_k, N,
+                     int(marginals), int(informed_init)])
+
+
 def sample_batch(model, batch: TrajectoryBatch,
                  k_max=10,
                  steps_per_k=20,
@@ -224,27 +284,47 @@ def sample_batch(model, batch: TrajectoryBatch,
                  key=None,
                  mesh=None,
                  marginals=False,
-                 informed_init=False) -> BatchResults:
+                 informed_init=False,
+                 checkpoint=None) -> BatchResults:
     """
     Lockstep inference over a trajectory batch.
 
     Parameters
     ----------
-    model : model exposing ``lockstep_fns`` (MultiStateRouse, FactorizedModel)
+    model : model exposing ``lockstep_fns`` (MultiStateRouse,
+        FactorizedModel, GenericGaussianModel)
     batch : TrajectoryBatch
     k_max, steps_per_k, N : schedule — every k gets ``steps_per_k`` AMIS
         steps of ``N`` proposals (likelihood budget per trajectory:
         ``(k_max+1) * steps_per_k * N``). The default N=128 fills whole
         128-lane tiles so the Rouse likelihood runs in the Pallas kernel.
     mesh : optional `jax.sharding.Mesh` with a ``data`` axis; the batch is
-        sharded over it (data parallelism over trajectories).
+        sharded over it (data parallelism over trajectories). B not
+        divisible by the axis is handled by padding with filler rows that
+        are stripped from the results.
     informed_init : bool
         seed each trajectory's initial proposal at its DP segmentation
         (strongly recommended for long trajectories, where the uniform
         proposal rarely finds fine-grained switch positions — see DESIGN.md).
+    checkpoint : optional path
+        per-k checkpoint/resume: after each k the partial results and PRNG
+        state are written (atomically) to this ``.npz`` path; a rerun with
+        the same configuration resumes at the first incomplete k. A
+        checkpoint from a different configuration raises.
+
+    Notes
+    -----
+    Per-trajectory true lengths (``batch.lengths``) gate the evidence: k at
+    or beyond a trajectory's own frame count is unidentifiable and gets
+    -inf, matching adaptive mode's ``k >= len(traj)`` guard even when the
+    trajectory is padded into a longer bucket.
     """
     if key is None:
         key = jax.random.key(np.random.randint(2**31))
+
+    B_real = batch.B
+    if mesh is not None:
+        batch = pad_batch_rows(batch, -batch.B % mesh.shape["data"])
 
     per_traj, logL_fn = model.lockstep_fns(batch)
     if mesh is not None:
@@ -263,49 +343,56 @@ def sample_batch(model, batch: TrajectoryBatch,
     cb = jnp.asarray(N * concentration_brake, dtype=dtype)
     pb = jnp.asarray(N * polarization_brake, dtype=dtype)
 
-    seg_all = None
-    if informed_init:
-        seg_tables = model.lockstep_segment_tables(batch)
-        if seg_tables is not None:
-            from ..infer.segment import dp_segment_all
+    informed = _informed_proposals_all_k(model, batch, K1, n, T) \
+        if informed_init else None
 
-            # one DP sweep per trajectory covers every k (layer j feeds j+1)
-            seg_all = [dp_segment_all(np.asarray(seg_tables[b]), K1 - 1,
-                                      model.transitions)[0]
-                       for b in range(B)]
-
+    # -- checkpoint/resume ---------------------------------------------------
     evs, maps, margs = [], [], []
-    for k in range(k_max + 1):
+    start_k = 0
+    config = _checkpoint_config(batch, k_max, steps_per_k, N,
+                                marginals, informed_init)
+    if checkpoint is not None:
+        import os
+        if os.path.exists(checkpoint):
+            ck = np.load(checkpoint)
+            if not np.array_equal(ck["config"], config):
+                raise ValueError(
+                    f"checkpoint {checkpoint} was written by a different "
+                    f"sample_batch configuration: {ck['config']} vs {config}")
+            start_k = int(ck["next_k"])
+            evs = [ck["evs"][i] for i in range(start_k)]
+            maps = [ck["maps"][i] for i in range(start_k)]
+            if marginals:
+                margs = [ck["margs"][i] for i in range(start_k)]
+            key = jax.random.wrap_key_data(ck["key_data"])
+
+    def save_checkpoint(next_k):
+        import os
+        tmp = f"{checkpoint}.tmp"
+        np.savez(tmp, config=config, next_k=next_k,
+                 evs=np.stack(evs), maps=np.stack(maps),
+                 margs=np.stack(margs) if marginals else np.zeros(0),
+                 key_data=np.asarray(jax.random.key_data(key)))
+        os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", checkpoint)
+
+    for k in range(start_k, k_max + 1):
         if k >= T:
             evs.append(np.full((B, 3), [-np.inf, 1e-10, np.inf]))
             maps.append(np.zeros((B, T), dtype=int))
             margs.append(np.full((B, n, T), -np.inf))
             continue
 
-        a0_np = np.ones((B, K1))
+        a0 = jnp.asarray(np.ones((B, K1)), dtype=dtype)
         logp0_np = np.full((B, n, K1), -math.log(n))
         logp0_np[:, :, : k + 1] = np.asarray(cfc.logp_uniform(k))[None]
-        a_inf_np = a0_np.copy()
-        logp_inf_np = logp0_np.copy()
-        use_inf_np = np.zeros(B, dtype=bool)
-        if seg_all is not None:
-            from ..amis.sampler import informed_proposal
-            from ..infer.segment import profile_to_st
-
-            for b in range(B):
-                prof = seg_all[b][k]
-                if prof is None:
-                    continue
-                fracs, theta = profile_to_st(prof)
-                a_b, logp_b = informed_proposal(fracs, theta, n, T)
-                a_inf_np[b, : k + 1] = a_b
-                logp_inf_np[b, :, : k + 1] = logp_b
-                use_inf_np[b] = True
-        a0 = jnp.asarray(a0_np, dtype=dtype)
         logp0 = jnp.asarray(logp0_np, dtype=dtype)
-        a_inf = jnp.asarray(a_inf_np, dtype=dtype)
-        logp_inf = jnp.asarray(logp_inf_np, dtype=dtype)
-        use_inf = jnp.asarray(use_inf_np)
+        if informed is not None:
+            a_inf = jnp.asarray(informed[0][k], dtype=dtype)
+            logp_inf = jnp.asarray(informed[1][k], dtype=dtype)
+            use_inf = jnp.asarray(informed[2][k])
+        else:
+            a_inf, logp_inf = a0, logp0
+            use_inf = jnp.zeros(B, dtype=bool)
         active = jnp.arange(K1) < (k + 1)
         logprior = jnp.asarray(
             sum(math.log(i + 1) for i in range(k)) - cfc.N_total(k, log=True),
@@ -320,13 +407,25 @@ def sample_batch(model, batch: TrajectoryBatch,
         maps.append(np.asarray(map_k))
         if marginals:
             margs.append(np.asarray(marg_k))
+        if checkpoint is not None:
+            save_checkpoint(k + 1)
 
     evs = np.stack(evs, axis=1)          # (B, K+1, 3)
+    evidence = evs[:, :, 0]
+    evidence_se = evs[:, :, 1]
+
+    # unidentifiability guard at TRUE trajectory lengths (see Notes)
+    if batch.lengths is not None:
+        lengths = np.asarray(batch.lengths)
+        over = np.arange(k_max + 1)[None, :] >= lengths[:, None]  # (B, K+1)
+        evidence = np.where(over, -np.inf, evidence)
+        evidence_se = np.where(over, 1e-10, evidence_se)
+
     return BatchResults(
         k=np.arange(k_max + 1),
-        evidence=evs[:, :, 0],
-        evidence_se=evs[:, :, 1],
-        map_profiles=np.stack(maps, axis=0),
+        evidence=evidence[:B_real],
+        evidence_se=evidence_se[:B_real],
+        map_profiles=np.stack(maps, axis=0)[:, :B_real],
         dE=dE,
-        marginals=np.stack(margs, axis=0) if marginals else None,
+        marginals=np.stack(margs, axis=0)[:, :B_real] if marginals else None,
     )

@@ -40,3 +40,26 @@ def test_assoc_parity_long(rng):
     want = float(np.asarray(msrouse_logL_batch(*a))[0])
     got = float(msrouse_logL_assoc(*a[:8], a[8][0], a[9], a[10]))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_time_sharded_mesh_parity(rng):
+    # the stated regime of the assoc filter: frames sharded across a mesh
+    # (virtual 8-CPU here); parity vs the sequential batched kernel
+    import jax
+    from bild_tpu.models import MultiStateRouse
+    from bild_tpu.parallel import make_mesh
+
+    model = MultiStateRouse(8, 1.0, 4.0, d=2, localization_error=0.3)
+    T = 64
+    true = ((np.arange(T) // 16) % 2).astype(int)
+    traj = model.trajectory_from_loopingprofile(true, key=jax.random.key(0))
+    profiles = rng.integers(0, 2, size=(5, T))
+
+    mesh = make_mesh((8,), axis_names=("time",))
+    got = np.asarray(model.logL_batch_assoc(profiles, traj, mesh=mesh))
+    want = np.asarray(model.logL_batch(profiles, traj))
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+    # single-device path too
+    got1 = np.asarray(model.logL_batch_assoc(profiles, traj))
+    np.testing.assert_allclose(got1, want, rtol=1e-8)

@@ -108,3 +108,28 @@ class TestGGMInference:
         # the inferred profile should broadly recover the switch structure
         best = np.asarray(res.best_profile()[:])
         assert best.shape == (20,)
+
+
+class TestGGMDataset:
+    def test_sample_batch_with_ggm(self, rng):
+        # GGM is now lockstep-capable: dataset mode end-to-end
+        from bild_tpu.parallel import sample_batch, stack_trajectories
+        model = GGM([
+            [(GGM.MSD_function_twoLocusRouse(G=1.0, J=20.0), 0.0, 0)],
+            [(GGM.MSD_function_twoLocusRouse(G=1.0, J=0.5), 0.0, 0)],
+        ])
+        trajs = []
+        truths = []
+        for b in range(3):
+            true = np.zeros(15, dtype=int)
+            true[5:11] = b % 2
+            truths.append(true)
+            trajs.append(model.trajectory_from_loopingprofile(
+                true, rng=np.random.default_rng(b)))
+        batch = stack_trajectories(trajs)
+        res = sample_batch(model, batch, k_max=3, steps_per_k=5, N=16,
+                           key=jax.random.key(0))
+        assert res.evidence.shape == (3, 4)
+        assert np.all(np.isfinite(res.evidence))
+        # trajectory 0 (no switches) should prefer k=0 under a small margin
+        assert res.best_k(dE=2.0)[0] == 0

@@ -76,3 +76,24 @@ def test_native_large_roundtrip(tmp_path):
     trajs = bio.load_trajectories_csv(p)
     assert len(trajs) == B
     assert all(len(t) == T and t.d == 3 for t in trajs)
+
+
+def test_ragged_first_row_uses_max_width(tmp_path):
+    # first data row is short: later rows' extra columns must survive (both
+    # loaders infer the table width as the MAX row width)
+    p = tmp_path / "ragged.csv"
+    p.write_text("0,0,1.5\n"
+                 "0,1,2.5,7.0,9.0\n"
+                 "0,2,3.5,8.0,10.0\n")
+    for loader in (bio.load_trajectories_csv_python,
+                   bio.load_trajectories_csv):
+        trajs = loader(p)
+        assert len(trajs) == 1
+        t = trajs[0]
+        assert t.d == 3
+        dat = t[:]
+        np.testing.assert_allclose(dat[1], [2.5, 7.0, 9.0])
+        np.testing.assert_allclose(dat[2], [3.5, 8.0, 10.0])
+        # the short row's frame has NaN-padded columns -> a missing frame
+        # under Trajectory semantics (frame valid = no NaN in any dim)
+        assert np.all(np.isnan(dat[0]))
