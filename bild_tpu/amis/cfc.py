@@ -87,18 +87,30 @@ def cfc_logpmf(logp, thetas, transitions, active=None):
     """
     Log-pmf of traces ``thetas`` (``(N, k+1)`` int) under CFC(logp) -> (N,).
     Reference ``bild/amis.py:258-281``.
+
+    Hot path: called on the whole stored AMIS ensemble (S*N traces) every
+    step. Gathers (``take_along_axis``, integer indexing) lower terribly on
+    TPU for these shapes, so everything is expressed through one-hot masks
+    (``n`` is tiny: broadcasting over it is free on the VPU).
     """
     logp = jnp.asarray(logp)
     thetas = jnp.asarray(thetas)
     transitions = jnp.asarray(transitions, dtype=bool)
+    n = logp.shape[0]
 
-    logp_theta = jnp.take_along_axis(logp[None, :, :], thetas[:, None, :], axis=1)[:, 0, :]
+    onehot = thetas[:, :, None] == jnp.arange(n)          # (N, k+1, n)
+    # exactly one state per slot is hot -> the where-sum reproduces the
+    # gathered value bit-for-bit (incl. -inf weights)
+    logp_theta = jnp.sum(jnp.where(onehot, logp.T[None], 0.0), axis=-1)
     if active is not None:
         logp_theta = jnp.where(jnp.asarray(active)[None, :], logp_theta, 0.0)
     if thetas.shape[1] > 1:
-        # normalization of each conditional slot: logsumexp over allowed states
-        allowed = transitions[thetas[:, :-1]]             # (N, k, n)
-        log_norm = logsumexp(logp.T[None, 1:, :], b=allowed, axis=-1)  # (N, k)
+        # normalization of each conditional slot: logsumexp over the states
+        # allowed from the previous slot's state
+        allowed = jnp.any(onehot[:, :-1, :, None] & transitions[None, None],
+                          axis=2)                         # (N, k, n)
+        log_norm = logsumexp(
+            jnp.where(allowed, logp.T[None, 1:, :], -jnp.inf), axis=-1)
         if active is not None:
             log_norm = jnp.where(jnp.asarray(active)[None, 1:], log_norm, 0.0)
         log_norm_sum = jnp.sum(log_norm, axis=1)
@@ -108,68 +120,82 @@ def cfc_logpmf(logp, thetas, transitions, active=None):
     return jnp.sum(logp_theta, axis=1) - log_norm_sum - log_norm0
 
 
-def _solve_marginals_single(logf, logg, transitions, maxiter, precision):
+def _solve_marginals(logf, logg, transitions, maxiter, precision,
+                     frozen=None):
     """
-    Fixed-point solve for slot weights from (current, previous) marginals.
-    Reference ``bild/amis.py:336-392``. Returns ``(logp, converged)``;
-    convergence cannot raise inside jit, so the flag is surfaced to the host.
+    Fixed-point solve for slot weights from (current, previous) marginals,
+    batched over a leading slot axis: ``logf, logg (K, n)`` -> ``(logp (K, n),
+    converged (K,))``. Reference ``bild/amis.py:336-392``.
+
+    All K independent solves advance in ONE ``lax.while_loop`` (the reference
+    — and a scan-of-while — solves slots sequentially, which serializes
+    latency-bound micro-iterations on TPU). A slot freezes at its first
+    iterate with max-delta < precision, so results are bit-identical to
+    per-slot solves; the loop ends when every slot is frozen. ``frozen``
+    pre-freezes slots (padded-k mode). Convergence cannot raise inside jit,
+    so the flag is surfaced to the host.
     """
-    n = logf.shape[0]
-    i_f0 = logf == -jnp.inf
+    K, n = logf.shape
+    i_f0 = logf == -jnp.inf                               # (K, n)
     i_g0 = logg == -jnp.inf
     # Kronecker-delta marginals: weights equal the marginal directly
-    is_delta = jnp.any(logf == 0) | jnp.any(logg == 0)
+    is_delta = (jnp.any(logf == 0, axis=1)
+                | jnp.any(logg == 0, axis=1))             # (K,)
+    done0 = is_delta if frozen is None else (is_delta | frozen)
 
     def body(state):
-        logp_old, it, _ = state
-        log_norm = logsumexp(logp_old[None, :], b=transitions, axis=1)  # over j, for each i
+        logp_old, it, done = state
+        log_norm = logsumexp(logp_old[:, None, :], b=transitions[None],
+                             axis=2)                      # over j, per i
         log_norm = jnp.where(i_g0, 0.0, log_norm)
         logg_norm = logg - log_norm
-        log_Sgp = logsumexp(logg_norm[:, None], b=transitions, axis=0)  # over i, for each j
+        log_Sgp = logsumexp(logg_norm[:, :, None], b=transitions[None],
+                            axis=1)                       # over i, per j
         log_Sgp = jnp.where(i_f0, 0.0, log_Sgp)
         logp = logf - log_Sgp
-        logp = logp - logsumexp(logp)
+        logp = logp - logsumexp(logp, axis=1, keepdims=True)
         delta = jnp.where(i_f0, 0.0, jnp.abs(logp - logp_old))
-        done = jnp.max(delta) < precision
-        return logp, it + 1, done
+        logp = jnp.where(done[:, None], logp_old, logp)   # freeze finished
+        newly = jnp.max(delta, axis=1) < precision
+        return logp, it + 1, done | newly
 
     def cond(state):
         _, it, done = state
-        return (~done) & (it < maxiter)
+        return (~jnp.all(done)) & (it < maxiter)
 
     logp, _, done = jax.lax.while_loop(
-        cond, body, (logf, jnp.zeros((), jnp.int32), jnp.asarray(False))
-    )
-    logp = jnp.where(is_delta, logf, logp)
-    converged = is_delta | done
-    return logp, converged
+        cond, body, (logf, jnp.zeros((), jnp.int32), done0))
+    logp = jnp.where(is_delta[:, None], logf, logp)
+    return logp, done
+
+
+def _solve_marginals_single(logf, logg, transitions, maxiter, precision):
+    """Single-slot convenience wrapper around `_solve_marginals`."""
+    logp, conv = _solve_marginals(logf[None], logg[None], transitions,
+                                  maxiter, precision)
+    return logp[0], conv[0]
 
 
 def cfc_logp_from_marginals(log_marginals, transitions, maxiter=1000,
                             precision=1e-2, active=None):
-    """Slot-by-slot conversion of marginals to weights (reference
-    ``bild/amis.py:307-334``). Returns ``(logp, converged)``. Inactive slots
-    (padded-k mode) are skipped: their weights are uniform and they never
-    count against convergence."""
+    """Conversion of marginals to weights, all slots solved concurrently
+    (reference ``bild/amis.py:307-334``). Returns ``(logp, converged)``.
+    Inactive slots (padded-k mode) are skipped: their weights are uniform
+    and they never count against convergence."""
     log_marginals = jnp.asarray(log_marginals)
     n, k1 = log_marginals.shape
     logp0 = log_marginals[:, 0]
     if k1 == 1:
         return logp0[:, None], jnp.asarray(True)
 
-    def scan_step(_, x):
-        logf, logg, act = x
-        logp, conv = _solve_marginals_single(logf, logg, transitions, maxiter, precision)
-        uniform = jnp.full((n,), -jnp.log(float(n)), dtype=logp.dtype)
-        logp = jnp.where(act, logp, uniform)
-        conv = conv | ~act
-        return None, (logp, conv)
-
     act = (jnp.ones(k1 - 1, dtype=bool) if active is None
            else jnp.asarray(active)[1:])
-    _, (logps, convs) = jax.lax.scan(
-        scan_step, None, (log_marginals[:, 1:].T, log_marginals[:, :-1].T, act)
-    )
+    logps, convs = _solve_marginals(
+        log_marginals[:, 1:].T, log_marginals[:, :-1].T, transitions,
+        maxiter, precision, frozen=~act)
+    uniform = -jnp.log(jnp.asarray(float(n), dtype=logps.dtype))
+    logps = jnp.where(act[:, None], logps, uniform)
+    convs = convs | ~act
     logp = jnp.concatenate([logp0[:, None], logps.T], axis=1)
     return logp, jnp.all(convs)
 
