@@ -221,9 +221,52 @@ def cfc_estimate(thetas, log_weights, transitions, n, maxiter=1000,
                                    precision, active=active)
 
 
+def _solve_marginals_np(logf, logg, transitions, maxiter, precision):
+    """
+    Numpy twin of `_solve_marginals` for host-side setup work
+    (`CFC.logp_uniform`). Calling the eager jax version from host control
+    code re-traced + re-compiled a tiny while_loop on every call (its body
+    closure is a fresh Python function each time), costing seconds per
+    `sample_batch`; the setup solve is microscopic, so it belongs on host.
+    """
+    from scipy.special import logsumexp as sp_lse
+
+    logf = np.asarray(logf, dtype=float)
+    logg = np.asarray(logg, dtype=float)
+    tr = np.asarray(transitions, dtype=bool)
+    i_f0 = logf == -np.inf
+    i_g0 = logg == -np.inf
+    is_delta = np.any(logf == 0, axis=1) | np.any(logg == 0, axis=1)
+    done = is_delta.copy()
+    logp = logf.copy()
+    for _ in range(maxiter):
+        if done.all():
+            break
+        with np.errstate(divide="ignore", invalid="ignore"):
+            log_norm = sp_lse(logp[:, None, :], b=tr[None], axis=2)
+            log_norm = np.where(i_g0, 0.0, log_norm)
+            logg_norm = logg - log_norm
+            log_Sgp = sp_lse(logg_norm[:, :, None], b=tr[None], axis=1)
+            log_Sgp = np.where(i_f0, 0.0, log_Sgp)
+            lp = logf - log_Sgp
+            lp = lp - sp_lse(lp, axis=1, keepdims=True)
+            delta = np.where(i_f0, 0.0, np.abs(lp - logp))
+        lp = np.where(done[:, None], logp, lp)
+        done = done | (np.max(delta, axis=1) < precision)
+        logp = lp
+    logp = np.where(is_delta[:, None], logf, logp)
+    return logp, done
+
+
 # ---------------------------------------------------------------------------
 # Host-side CFC object (setup logic + convenience wrappers)
 # ---------------------------------------------------------------------------
+
+# logp_uniform(k) is pure in (transitions, k) and is re-derived at every
+# sampler/batch construction; cache it process-wide (bounded: k and the
+# state-space size are tiny in practice)
+_LOGP_UNIFORM_CACHE = {}
+_LOGP_UNIFORM_CACHE_MAX = 512
 
 class CFC:
     """
@@ -322,13 +365,26 @@ class CFC:
 
     def logp_uniform(self, k):
         """Weights reproducing the uniform distribution (reference
-        ``bild/amis.py:451-472``)."""
-        logp, converged = cfc_logp_from_marginals(
-            jnp.asarray(self.uniform_marginals(k)), self._transitions_dev,
-            self.MOM_maxiter, self.MOM_precision,
-        )
-        if not bool(converged):
-            raise RuntimeError("Iteration did not converge")
+        ``bild/amis.py:451-472``). Host-computed and cached: the result is
+        pure in (transitions, k)."""
+        cache_key = (self.transitions.tobytes(), self.transitions.shape, k,
+                     self.MOM_maxiter, self.MOM_precision)
+        hit = _LOGP_UNIFORM_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
+        lm = np.asarray(self.uniform_marginals(k))
+        if k == 0:
+            logp = lm[:, :1]
+        else:
+            logps, conv = _solve_marginals_np(
+                lm[:, 1:].T, lm[:, :-1].T, self.transitions,
+                self.MOM_maxiter, self.MOM_precision)
+            if not bool(np.all(conv)):
+                raise RuntimeError("Iteration did not converge")
+            logp = np.concatenate([lm[:, :1], logps.T], axis=1)
+        while len(_LOGP_UNIFORM_CACHE) >= _LOGP_UNIFORM_CACHE_MAX:
+            _LOGP_UNIFORM_CACHE.pop(next(iter(_LOGP_UNIFORM_CACHE)))
+        _LOGP_UNIFORM_CACHE[cache_key] = logp
         return logp
 
     def full_sample(self, k, Nmax=1000):

@@ -181,8 +181,19 @@ _LOCKSTEP_RUNNERS = {}
 _LOCKSTEP_RUNNERS_MAX = 32
 
 
-def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals):
-    cache_key = (logL_fn, T, n, N, S, steps, K1, marginals)
+def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
+                         variant="per_k"):
+    """
+    Compiled lockstep program. Variants (same per-(trajectory, k) math):
+
+    - ``per_k``: vmap over trajectories, one k per call (active/logprior
+      shared) — the checkpointable path.
+    - ``fused``: vmap over k of vmap over trajectories — ALL k values run in
+      ONE dispatch, removing per-k host prep + device sync gaps.
+    - ``per_traj_k``: vmap over trajectories with a per-trajectory k
+      (active/logprior axis 0) — the refine phase of the scouted schedule.
+    """
+    cache_key = (logL_fn, T, n, N, S, steps, K1, marginals, variant)
     if cache_key in _LOCKSTEP_RUNNERS:
         return _LOCKSTEP_RUNNERS[cache_key]
     while len(_LOCKSTEP_RUNNERS) >= _LOCKSTEP_RUNNERS_MAX:
@@ -234,8 +245,20 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals):
 
     # a0/logp0 are per-trajectory (axis 0): the informed-init path seeds each
     # trajectory's proposal at its own DP segmentation
-    runner = jax.jit(jax.vmap(
-        run_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0, None, None, None, None)))
+    if variant == "per_k":
+        runner = jax.jit(jax.vmap(
+            run_one,
+            in_axes=(0, 0, None, 0, 0, 0, 0, 0, None, None, None, None)))
+    elif variant == "per_traj_k":
+        runner = jax.jit(jax.vmap(
+            run_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0, 0, 0, None, None)))
+    elif variant == "fused":
+        over_B = jax.vmap(
+            run_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0, None, None, None, None))
+        runner = jax.jit(jax.vmap(
+            over_B, in_axes=(None, 0, None, 0, 0, 0, 0, 0, 0, 0, None, None)))
+    else:
+        raise ValueError(f"unknown runner variant {variant!r}")
     _LOCKSTEP_RUNNERS[cache_key] = runner
     return runner
 
@@ -272,6 +295,22 @@ def _informed_proposals_all_k(model, batch, K1, n, T):
 def _checkpoint_config(batch, k_max, steps_per_k, N, marginals, informed_init):
     return np.array([batch.B, batch.T, k_max, steps_per_k, N,
                      int(marginals), int(informed_init)])
+
+
+def _per_k_params(cfc, k, K1, B, n, informed):
+    """Host-side proposal-init parameters for one k (numpy; caller casts)."""
+    a0 = np.ones((B, K1))
+    logp0 = np.full((B, n, K1), -math.log(n))
+    logp0[:, :, : k + 1] = np.asarray(cfc.logp_uniform(k))[None]
+    if informed is not None:
+        a_inf, logp_inf, use_inf = (informed[0][k], informed[1][k],
+                                    informed[2][k])
+    else:
+        a_inf, logp_inf, use_inf = a0, logp0, np.zeros(B, dtype=bool)
+    active = np.arange(K1) < (k + 1)
+    logprior = (sum(math.log(i + 1) for i in range(k))
+                - cfc.N_total(k, log=True))
+    return a0, logp0, a_inf, logp_inf, use_inf, active, logprior
 
 
 def sample_batch(model, batch: TrajectoryBatch,
@@ -338,20 +377,59 @@ def sample_batch(model, batch: TrajectoryBatch,
     dtype = fdtype()
 
     K1 = min(k_max, max(T - 1, 0)) + 1     # padded slot count
-    runner = _get_lockstep_runner(logL_fn, T, n, N, steps_per_k, steps_per_k,
-                                  K1, marginals)
     cb = jnp.asarray(N * concentration_brake, dtype=dtype)
     pb = jnp.asarray(N * polarization_brake, dtype=dtype)
 
     informed = _informed_proposals_all_k(model, batch, K1, n, T) \
         if informed_init else None
 
-    # -- checkpoint/resume ---------------------------------------------------
-    evs, maps, margs = [], [], []
-    start_k = 0
-    config = _checkpoint_config(batch, k_max, steps_per_k, N,
-                                marginals, informed_init)
-    if checkpoint is not None:
+    def skipped_k():
+        return (np.full((B, 3), [-np.inf, 1e-10, np.inf]),
+                np.zeros((B, T), dtype=int),
+                np.full((B, n, T), -np.inf))
+
+    if checkpoint is None:
+        # one dispatch for ALL k: per-k host prep and device sync gaps would
+        # otherwise serialize steps_per_k * (k_max+1) small programs
+        runner = _get_lockstep_runner(logL_fn, T, n, N, steps_per_k,
+                                      steps_per_k, K1, marginals,
+                                      variant="fused")
+        ks = [k for k in range(k_max + 1) if k < T]
+        params = [_per_k_params(cfc, k, K1, B, n, informed) for k in ks]
+        stacked = [jnp.asarray(np.stack([p[i] for p in params]),
+                               dtype=(bool if i in (4, 5) else dtype))
+                   for i in range(7)]
+        keys = []
+        for _ in ks:
+            key, sub = jax.random.split(key)
+            keys.append(jax.random.split(sub, B))
+        keys = jnp.stack(keys)
+        ev_all, map_all, marg_all = runner(per_traj, keys, transitions,
+                                           *stacked[:6], stacked[6], cb, pb)
+        ev_all, map_all = np.asarray(ev_all), np.asarray(map_all)
+        if marginals:
+            marg_all = np.asarray(marg_all)
+        evs, maps, margs = [], [], []
+        for k in range(k_max + 1):
+            if k >= T:
+                ev_s, map_s, marg_s = skipped_k()
+                evs.append(ev_s)
+                maps.append(map_s)
+                margs.append(marg_s)
+            else:
+                i = ks.index(k)
+                evs.append(ev_all[i])
+                maps.append(map_all[i])
+                if marginals:
+                    margs.append(marg_all[i])
+    else:
+        # -- per-k loop with checkpoint/resume --------------------------------
+        runner = _get_lockstep_runner(logL_fn, T, n, N, steps_per_k,
+                                      steps_per_k, K1, marginals)
+        evs, maps, margs = [], [], []
+        start_k = 0
+        config = _checkpoint_config(batch, k_max, steps_per_k, N,
+                                    marginals, informed_init)
         import os
         if os.path.exists(checkpoint):
             ck = np.load(checkpoint)
@@ -366,48 +444,39 @@ def sample_batch(model, batch: TrajectoryBatch,
                 margs = [ck["margs"][i] for i in range(start_k)]
             key = jax.random.wrap_key_data(ck["key_data"])
 
-    def save_checkpoint(next_k):
-        import os
-        tmp = f"{checkpoint}.tmp"
-        np.savez(tmp, config=config, next_k=next_k,
-                 evs=np.stack(evs), maps=np.stack(maps),
-                 margs=np.stack(margs) if marginals else np.zeros(0),
-                 key_data=np.asarray(jax.random.key_data(key)))
-        os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", checkpoint)
+        def save_checkpoint(next_k):
+            tmp = f"{checkpoint}.tmp"
+            np.savez(tmp, config=config, next_k=next_k,
+                     evs=np.stack(evs), maps=np.stack(maps),
+                     margs=np.stack(margs) if marginals else np.zeros(0),
+                     key_data=np.asarray(jax.random.key_data(key)))
+            os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz",
+                       checkpoint)
 
-    for k in range(start_k, k_max + 1):
-        if k >= T:
-            evs.append(np.full((B, 3), [-np.inf, 1e-10, np.inf]))
-            maps.append(np.zeros((B, T), dtype=int))
-            margs.append(np.full((B, n, T), -np.inf))
-            continue
+        for k in range(start_k, k_max + 1):
+            if k >= T:
+                ev_s, map_s, marg_s = skipped_k()
+                evs.append(ev_s)
+                maps.append(map_s)
+                margs.append(marg_s)
+                continue
 
-        a0 = jnp.asarray(np.ones((B, K1)), dtype=dtype)
-        logp0_np = np.full((B, n, K1), -math.log(n))
-        logp0_np[:, :, : k + 1] = np.asarray(cfc.logp_uniform(k))[None]
-        logp0 = jnp.asarray(logp0_np, dtype=dtype)
-        if informed is not None:
-            a_inf = jnp.asarray(informed[0][k], dtype=dtype)
-            logp_inf = jnp.asarray(informed[1][k], dtype=dtype)
-            use_inf = jnp.asarray(informed[2][k])
-        else:
-            a_inf, logp_inf = a0, logp0
-            use_inf = jnp.zeros(B, dtype=bool)
-        active = jnp.arange(K1) < (k + 1)
-        logprior = jnp.asarray(
-            sum(math.log(i + 1) for i in range(k)) - cfc.N_total(k, log=True),
-            dtype=dtype)
+            p = _per_k_params(cfc, k, K1, B, n, informed)
+            a0, logp0, a_inf, logp_inf = (jnp.asarray(x, dtype=dtype)
+                                          for x in p[:4])
+            use_inf = jnp.asarray(p[4])
+            active = jnp.asarray(p[5])
+            logprior = jnp.asarray(p[6], dtype=dtype)
 
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, B)
-        ev_k, map_k, marg_k = runner(per_traj, keys, transitions, a0, logp0,
-                                     a_inf, logp_inf, use_inf,
-                                     active, logprior, cb, pb)
-        evs.append(np.asarray(ev_k))
-        maps.append(np.asarray(map_k))
-        if marginals:
-            margs.append(np.asarray(marg_k))
-        if checkpoint is not None:
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, B)
+            ev_k, map_k, marg_k = runner(per_traj, keys, transitions, a0,
+                                         logp0, a_inf, logp_inf, use_inf,
+                                         active, logprior, cb, pb)
+            evs.append(np.asarray(ev_k))
+            maps.append(np.asarray(map_k))
+            if marginals:
+                margs.append(np.asarray(marg_k))
             save_checkpoint(k + 1)
 
     evs = np.stack(evs, axis=1)          # (B, K+1, 3)
