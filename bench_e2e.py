@@ -120,7 +120,8 @@ def config3():
     model = MultiStateRouse(20, 1.0, 5.0, d=3, localization_error=0.1)
     truths = _truth_profiles(rng, 128, 100, 2)
     res, dt = _lockstep(model, truths, jax.random.key(3),
-                        k_max=4, steps_per_k=12, N=128, informed_init=True)
+                        k_max=4, steps_per_k=12, N=128, informed_init=True,
+                        scout_steps=4, refine_top=3)
     return {
         "config": 3,
         "B": 128,
@@ -142,7 +143,8 @@ def config4():
                             localization_error=0.1)
     truths = _truth_profiles(rng, 16, 1000, 3)
     res, dt = _lockstep(model, truths, jax.random.key(4),
-                        k_max=6, steps_per_k=12, N=128, informed_init=True)
+                        k_max=6, steps_per_k=12, N=128, informed_init=True,
+                        scout_steps=4, refine_top=3)
     return {
         "config": 4,
         "B": 16,
@@ -173,7 +175,8 @@ def config5():
         batch = model.trajectories_from_loopingprofiles(
             truths, key=jax.random.key(100 + c))
         res = sample_batch(model, batch, k_max=4, steps_per_k=12, N=128,
-                           informed_init=True, key=jax.random.key(200 + c))
+                           informed_init=True, scout_steps=4, refine_top=3,
+                           key=jax.random.key(200 + c))
         acc_frames += _accuracy(res.best_profile(), truths)
         acc_switch += _switch_accuracy(res.best_k(), truths)
     dt = time.perf_counter() - t0

@@ -324,7 +324,9 @@ def sample_batch(model, batch: TrajectoryBatch,
                  mesh=None,
                  marginals=False,
                  informed_init=False,
-                 checkpoint=None) -> BatchResults:
+                 checkpoint=None,
+                 scout_steps=None,
+                 refine_top=3) -> BatchResults:
     """
     Lockstep inference over a trajectory batch.
 
@@ -350,6 +352,19 @@ def sample_batch(model, batch: TrajectoryBatch,
         state are written (atomically) to this ``.npz`` path; a rerun with
         the same configuration resumes at the first incomplete k. A
         checkpoint from a different configuration raises.
+    scout_steps : optional int
+        two-phase budget schedule: every k first gets only ``scout_steps``
+        AMIS steps (the scout), then each trajectory's ``refine_top``
+        highest-evidence k values get the full ``steps_per_k`` steps (the
+        refine; evidence/MAP/marginals of refined k are replaced by the
+        refined run). The TPU-side analog of the reference's across-k
+        active learning (``bild/core.py:138-192``): lockstep shapes stay
+        static because every trajectory refines the same NUMBER of k values
+        — just not the same ones. Cuts the likelihood budget roughly by
+        ``(K+1-refine_top) * (steps_per_k - scout_steps)`` sweeps. Not
+        combinable with ``checkpoint``.
+    refine_top : int
+        how many k values each trajectory refines (only with scout_steps).
 
     Notes
     -----
@@ -360,6 +375,9 @@ def sample_batch(model, batch: TrajectoryBatch,
     """
     if key is None:
         key = jax.random.key(np.random.randint(2**31))
+    if checkpoint is not None and scout_steps is not None:
+        raise ValueError("scout_steps (two-phase schedule) cannot be "
+                         "combined with checkpoint (per-k resume)")
 
     B_real = batch.B
     if mesh is not None:
@@ -391,14 +409,14 @@ def sample_batch(model, batch: TrajectoryBatch,
     if checkpoint is None:
         # one dispatch for ALL k: per-k host prep and device sync gaps would
         # otherwise serialize steps_per_k * (k_max+1) small programs
-        runner = _get_lockstep_runner(logL_fn, T, n, N, steps_per_k,
-                                      steps_per_k, K1, marginals,
-                                      variant="fused")
+        s1 = steps_per_k if scout_steps is None else scout_steps
+        runner = _get_lockstep_runner(logL_fn, T, n, N, s1, s1, K1,
+                                      marginals, variant="fused")
         ks = [k for k in range(k_max + 1) if k < T]
         params = [_per_k_params(cfc, k, K1, B, n, informed) for k in ks]
-        stacked = [jnp.asarray(np.stack([p[i] for p in params]),
-                               dtype=(bool if i in (4, 5) else dtype))
-                   for i in range(7)]
+        stacks_np = [np.stack([p[i] for p in params]) for i in range(7)]
+        stacked = [jnp.asarray(s, dtype=(bool if i in (4, 5) else dtype))
+                   for i, s in enumerate(stacks_np)]
         keys = []
         for _ in ks:
             key, sub = jax.random.split(key)
@@ -406,9 +424,59 @@ def sample_batch(model, batch: TrajectoryBatch,
         keys = jnp.stack(keys)
         ev_all, map_all, marg_all = runner(per_traj, keys, transitions,
                                            *stacked[:6], stacked[6], cb, pb)
-        ev_all, map_all = np.asarray(ev_all), np.asarray(map_all)
+        # np.array (not asarray): jax arrays view as read-only, refine writes
+        ev_all, map_all = np.array(ev_all), np.array(map_all)
         if marginals:
-            marg_all = np.asarray(marg_all)
+            marg_all = np.array(marg_all)
+
+        R = 0 if scout_steps is None else max(0, min(refine_top, len(ks)))
+        if R > 0:
+            # refine: each trajectory's top-R scouted k values get the full
+            # steps_per_k run, with per-trajectory k in ONE static-shape
+            # dispatch (active/logprior vary along the batch axis)
+            lengths = (np.asarray(batch.lengths) if batch.lengths is not None
+                       else np.full(B, T))
+            ks_arr = np.array(ks)
+            ev_rank = np.where(ks_arr[:, None] >= lengths[None, :],
+                               -np.inf, ev_all[:, :, 0])        # (nk, B)
+            order = np.argsort(-ev_rank, axis=0)                # ks-indices
+            kb = order[:R]                                      # (R, B)
+            with np.errstate(invalid="ignore"):
+                bad = ~np.isfinite(ev_rank[kb, np.arange(B)[None]])
+            kb = np.where(bad, kb[0][None], kb)                 # pad w/ best
+
+            flat_kb = kb.reshape(-1)                            # (R*B,)
+            bidx = np.tile(np.arange(B), R)
+            sel = [s[flat_kb, bidx] for s in stacks_np[:5]]     # per-(r,b)
+            active_sel = stacks_np[5][flat_kb]
+            logprior_sel = stacks_np[6][flat_kb]
+            sel_dev = ([jnp.asarray(s, dtype=dtype) for s in sel[:4]]
+                       + [jnp.asarray(sel[4]),
+                          jnp.asarray(active_sel),
+                          jnp.asarray(logprior_sel, dtype=dtype)])
+
+            per_traj_R = jax.tree_util.tree_map(
+                lambda x: jnp.concatenate([x] * R, axis=0), per_traj)
+            if mesh is not None:
+                from .mesh import shard_batch
+                per_traj_R = shard_batch(per_traj_R, mesh)
+            key, sub = jax.random.split(key)
+            keys_R = jax.random.split(sub, R * B)
+
+            runner_r = _get_lockstep_runner(logL_fn, T, n, N, steps_per_k,
+                                            steps_per_k, K1, marginals,
+                                            variant="per_traj_k")
+            ev_r, map_r, marg_r = runner_r(per_traj_R, keys_R, transitions,
+                                           *sel_dev, cb, pb)
+            ev_r = np.asarray(ev_r).reshape(R, B, 3)
+            map_r = np.asarray(map_r).reshape(R, B, T)
+            if marginals:
+                marg_r = np.asarray(marg_r).reshape(R, B, n, T)
+            for r in range(R):
+                ev_all[kb[r], np.arange(B)] = ev_r[r]
+                map_all[kb[r], np.arange(B)] = map_r[r]
+                if marginals:
+                    marg_all[kb[r], np.arange(B)] = marg_r[r]
         evs, maps, margs = [], [], []
         for k in range(k_max + 1):
             if k >= T:

@@ -51,6 +51,39 @@ def test_sample_batch_factorized():
     assert profs.shape == (8, 8)
 
 
+def test_sample_batch_scout_refine():
+    """Two-phase schedule: same decisions as the full schedule, structural
+    invariants hold (refined rows overwrite scouted rows; marginals stay
+    normalized at refined k)."""
+    model, trajs, true_ks = _factorized_batch()
+    batch = stack_trajectories(trajs)
+    kw = dict(k_max=3, steps_per_k=10, N=50, marginals=True)
+    full = sample_batch(model, batch, key=jax.random.key(0), **kw)
+    scout = sample_batch(model, batch, key=jax.random.key(0),
+                         scout_steps=3, refine_top=2, **kw)
+    assert scout.evidence.shape == full.evidence.shape
+    assert np.all(scout.best_k()[true_ks == 0] == 0)
+    assert np.all(scout.best_k()[true_ks == 1] >= 1)
+    # each trajectory's best k was refined: its evidence must carry the
+    # full-schedule error bar scale, not the scout's
+    bk = scout.best_k()
+    assert np.all(np.isfinite(scout.evidence[np.arange(8), bk]))
+    # scout with refine_top >= nk degenerates to refining everything
+    all_ref = sample_batch(model, batch, key=jax.random.key(0),
+                           scout_steps=2, refine_top=10, **kw)
+    assert np.all(all_ref.best_k()[true_ks == 0] == 0)
+
+
+def test_sample_batch_scout_checkpoint_incompatible(tmp_path):
+    model, trajs, _ = _factorized_batch(B=2)
+    batch = stack_trajectories(trajs)
+    import pytest
+    with pytest.raises(ValueError, match="scout_steps"):
+        sample_batch(model, batch, k_max=2, steps_per_k=4, N=10,
+                     scout_steps=2, checkpoint=str(tmp_path / "ck.npz"),
+                     key=jax.random.key(0))
+
+
 def test_sample_batch_sharded_over_mesh():
     model, trajs, true_ks = _factorized_batch()
     batch = stack_trajectories(trajs)
@@ -60,6 +93,11 @@ def test_sample_batch_sharded_over_mesh():
                        key=jax.random.key(1), mesh=mesh)
     # sharded run must agree with itself structurally and distinguish k
     assert np.all(res.best_k()[true_ks == 0] == 0)
+    # scout/refine under a mesh (refine re-shards the tiled batch)
+    res2 = sample_batch(model, batch, k_max=2, steps_per_k=8, N=30,
+                        key=jax.random.key(1), mesh=mesh,
+                        scout_steps=3, refine_top=2)
+    assert np.all(res2.best_k()[true_ks == 0] == 0)
 
 
 def test_sample_batch_marginals():
