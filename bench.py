@@ -7,8 +7,9 @@ scored for a batch of P=8192 candidate profiles — the dispatch shape of
 dataset (lockstep) mode, where B trajectories x N proposals land in one
 kernel call. This is the kernel that dominates every BILD inference
 (reference hot path: ``bild/src/MSRouse_logL.pyx``, called ~20k times per
-k-sampler). Throughput is batch-dependent (a fixed ~0.8-1 ms per-call cost
-on this platform): ~150k/s at P=128 up to ~465k/s at P=8192.
+k-sampler). The TPU path is the symmetric-packed Pallas kernel
+(``ops/kalman_sym.py``). Throughput is batch-dependent (a fixed ~0.8-1 ms
+per-call cost on this platform): ~150k/s at P=128 up to ~525k/s at P=8192.
 
 Baseline = the sequential float64 NumPy transcription of the reference
 algorithm (``bild_tpu/ops/oracle.py``) on one host CPU thread, i.e. the
@@ -49,11 +50,11 @@ def main():
     # with block_until_ready is unreliable (returns early in some program
     # states), so the repeat loop lives on device and the wall clock spans a
     # single dispatch + final host fetch.
-    from bild_tpu.ops.kalman_pallas import msrouse_logL_pallas
+    from bild_tpu.ops.kalman_sym import msrouse_logL_pallas_sym
 
     s2, Cind = model._noise_arrays(traj)
     profiles_dev = jnp.asarray(profiles)
-    kernel = (msrouse_logL_pallas
+    kernel = (msrouse_logL_pallas_sym
               if jax.default_backend() not in ("cpu",) else msrouse_logL_batch)
 
     n_rep = 10

@@ -19,7 +19,7 @@ from ..physics.rouse import RouseModel
 from ..profiles import Loopingprofile
 from ..trajectory import Trajectory
 from ..ops.kalman import msrouse_logL_batch
-from ..ops.kalman_pallas import msrouse_logL_pallas
+from ..ops.kalman_sym import msrouse_logL_pallas_sym
 from ..ops.assoc_kalman import msrouse_logL_assoc
 from .base import MultiStateModel
 
@@ -129,9 +129,10 @@ class MultiStateRouse(MultiStateModel):
         ``(P,)`` log-likelihoods for a ``(P, T)`` profile batch — the TPU hot
         path (replaces the per-profile loop at reference ``bild/amis.py:734-739``).
 
-        Dispatches to the Pallas VMEM-resident kernel on TPU float32
-        (measured ~1.3x the XLA scan), and to the XLA kernel otherwise
-        (CPU, float64, or non-TPU backends).
+        Dispatches to the symmetric-packed Pallas kernel on TPU float32
+        (`ops.kalman_sym`, measured ~1.6x the XLA scan / 1.28x the dense
+        Pallas kernel), and to the XLA kernel otherwise (CPU, float64, or
+        non-TPU backends).
 
         States must lie in ``[0, nStates)``; out-of-range states yield NaN
         (device code cannot raise).
@@ -141,7 +142,7 @@ class MultiStateRouse(MultiStateModel):
         args = (self.Bs, self.Gs, self.Sigs, self.M0s, self.C0s,
                 self.w, s2, Cind, profiles, traj.data, traj.valid)
         if self.Bs.dtype == jnp.float32 and jax.default_backend() not in ("cpu",):
-            return msrouse_logL_pallas(*args)
+            return msrouse_logL_pallas_sym(*args)
         return msrouse_logL_batch(*args)
 
     def logL_batch_assoc(self, profiles, traj, mesh=None, time_axis="time"):
@@ -207,8 +208,9 @@ class MultiStateRouse(MultiStateModel):
                 if (profiles.shape[0] % 128 == 0
                         and Bs.dtype == jnp.float32
                         and jax.default_backend() not in ("cpu",)):
-                    return msrouse_logL_pallas(Bs, Gs, Sigs, M0s, C0s, w, s2,
-                                               Cind_np, profiles, ydata, valid)
+                    return msrouse_logL_pallas_sym(
+                        Bs, Gs, Sigs, M0s, C0s, w, s2,
+                        Cind_np, profiles, ydata, valid)
                 return msrouse_logL_batch(Bs, Gs, Sigs, M0s, C0s, w, s2,
                                           Cind_dev, profiles, ydata, valid)
 
@@ -237,7 +239,8 @@ class MultiStateRouse(MultiStateModel):
 
             def logL_fn(profiles, per_traj):
                 ydata, valid = per_traj
-                fn = msrouse_logL_pallas if use_pallas else msrouse_logL_batch
+                fn = (msrouse_logL_pallas_sym if use_pallas
+                      else msrouse_logL_batch)
                 return fn(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
                           profiles, ydata, valid)
 

@@ -1,0 +1,315 @@
+"""
+Symmetric-packed Pallas TPU kernel for the batched Rouse-Kalman likelihood.
+
+The original kernel (`kalman_pallas.py`) propagates the (N, N) covariance
+with two dependent skinny GEMMs per frame (``C' = B (B C)^T``): contraction
+dimension N (= monomer count, ~20) occupies < 1/6 of the 128-wide MXU
+systolic dimension, and the transpose between the GEMMs serializes them.
+
+This kernel exploits that the covariance is SYMMETRIC: it carries only the
+``PP = N(N+1)/2`` unique entries (210 for N=20) and applies the conjugation
+``C -> B C B^T`` as ONE dense linear operator on that packed vector,
+
+    c' = P_s c + sig_s,     P_s[(a,b),(i,j)] = B_ai B_bj + [i<j] B_aj B_bi
+
+precomputed per model state on the host (float64, cast to the compute
+dtype). The single GEMM has contraction dimension PP ~ 210 — well matched
+to the MXU — no transpose, and ~half the select/broadcast VPU traffic of
+the dense form. The Kalman measurement update stays in packed space too:
+
+    Cw = Gw c            (Gw (N, PP) built from the measurement vector w)
+    S  = w . Cw + s2,  K = Cw / S
+    c' = c - (Ea Cw) * (Eb Cw) / S      (packed rank-1 downdate)
+
+with Ea/Eb (PP, N) one-hot selectors of each packed entry's row/column
+index. Mean propagation and the log-likelihood accumulation are unchanged
+from `kalman_pallas.py`.
+
+Semantics identical to `kalman.msrouse_logL_batch` (reference algorithm:
+``bild/src/MSRouse_logL.pyx:95-256``); parity is tested against the f64
+oracle. Out-of-range profile states yield NaN, as in the other kernels.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG_2PI = float(np.log(2.0 * np.pi))
+
+__all__ = ["msrouse_logL_pallas_sym", "sym_operators"]
+
+P_TILE = 128
+_KERNEL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _pack_indices(N):
+    """Row/col index per packed slot, ordered (i, j) with i <= j."""
+    ia, ja = np.triu_indices(N)
+    return ia, ja
+
+
+def _build_sym_operators(Bs, Sigs, C0s, w, pad=8):
+    """
+    Host-side (numpy, float64) construction of the packed-space operators.
+
+    Returns ``(Pall (n*PPp, PPp), sig_pack (n, PPp), c0_pack (n, PPp),
+    Gw (N, PPp), Ea (PPp, N), Eb (PPp, N), PPp)`` with ``PPp`` = PP padded
+    to a multiple of ``pad`` (zero padding is exact: padded slots stay 0
+    through propagation and never enter Cw).
+    """
+    Bs = np.asarray(Bs, dtype=np.float64)
+    Sigs = np.asarray(Sigs, dtype=np.float64)
+    C0s = np.asarray(C0s, dtype=np.float64)
+    w = np.asarray(w, dtype=np.float64)
+    n, N, _ = Bs.shape
+    ia, ja = _pack_indices(N)
+    PP = len(ia)
+    PPp = -(-PP // pad) * pad
+
+    # P_s: c'[(a,b)] = sum_{i<=j} (B_ai B_bj + [i<j] B_aj B_bi) c[(i,j)]
+    off_diag = (ia != ja).astype(np.float64)
+    P_ops = np.zeros((n, PPp, PPp))
+    for s in range(n):
+        B = Bs[s]
+        # (PPout, PPin): outer pack over (a,b) pairs, inner over (i,j)
+        P_ops[s, :PP, :PP] = (B[ia][:, None, ia] * B[ja][:, None, ja]
+                              + (B[ia][:, None, ja] * B[ja][:, None, ia])
+                              * off_diag[None, None, :])[:, 0, :]
+    Pall = P_ops.reshape(n * PPp, PPp)
+
+    sig_pack = np.zeros((n, PPp))
+    c0_pack = np.zeros((n, PPp))
+    sig_pack[:, :PP] = Sigs[:, ia, ja]
+    c0_pack[:, :PP] = C0s[:, ia, ja]
+
+    Gw = np.zeros((N, PPp))
+    for p in range(PP):
+        a, b = ia[p], ja[p]
+        Gw[a, p] += w[b]
+        if a != b:
+            Gw[b, p] += w[a]
+
+    Ea = np.zeros((PPp, N))
+    Eb = np.zeros((PPp, N))
+    Ea[np.arange(PP), ia] = 1.0
+    Eb[np.arange(PP), ja] = 1.0
+    return Pall, sig_pack, c0_pack, Gw, Ea, Eb, PPp
+
+
+# host-side operator cache: keyed by the byte content of the (small) model
+# arrays; bounded (models are few, entries are ~1 MB)
+_SYM_OPS_CACHE = {}
+_SYM_OPS_CACHE_MAX = 16
+
+
+def sym_operators(Bs, Sigs, C0s, w, dtype):
+    key = tuple(np.asarray(x).tobytes() for x in (Bs, Sigs, C0s, w))
+    hit = _SYM_OPS_CACHE.get(key)
+    if hit is None:
+        while len(_SYM_OPS_CACHE) >= _SYM_OPS_CACHE_MAX:
+            _SYM_OPS_CACHE.pop(next(iter(_SYM_OPS_CACHE)))
+        hit = _build_sym_operators(Bs, Sigs, C0s, w)
+        _SYM_OPS_CACHE[key] = hit
+    *ops, PPp = hit
+    return [jnp.asarray(o, dtype=dtype) for o in ops], PPp
+
+
+def _kernel(Pall_ref, sig_ref, c0_ref, Gw_ref, Ea_ref, Eb_ref,
+            Bs_ref, Gs_ref, M0s_ref, w_ref, s2_ref,
+            profT_ref, ydata_ref, valid_ref, out_ref,
+            c_scr, M_scr, acc_scr, *, n, N, d, q, T, PPp, Cind):
+    fdt = out_ref.dtype
+
+    w_row = w_ref[:]                      # (1, N)
+
+    def masks_for(t):
+        prof_t = profT_ref[pl.ds(t, 1), :]          # (1, P) int32
+        return [(prof_t == s).astype(fdt) for s in range(n)]
+
+    def bcast(mask):                      # (1, P) -> broadcastable (1, 1, P)
+        return mask[None, :, :]
+
+    # ---- t = 0: steady-state init, selected by profile[0] ----------------
+    m0 = masks_for(0)
+    c_init = jnp.zeros((PPp, P_TILE), fdt)
+    for s in range(n):
+        c_init = c_init + c0_ref[s][:, None] * m0[s]
+    for qi in range(q):
+        c_scr[qi] = c_init
+    Minit = jnp.zeros((N, d, P_TILE), fdt)
+    for s in range(n):
+        Minit = Minit + M0s_ref[s][:, :, None] * bcast(m0[s])
+    M_scr[:] = Minit
+    acc_scr[:] = jnp.zeros((1, P_TILE), fdt)
+
+    # ---- Kalman measurement update (in-place on scratch) -----------------
+    def kalman_update(t):
+        Ks = []
+        Sinvs = []
+        for qi in range(q):
+            c = c_scr[qi]                                     # (PPp, P)
+            Cw = jax.lax.dot_general(
+                Gw_ref[:], c, (((1,), (0,)), ((), ())),
+                preferred_element_type=fdt,
+                precision=_KERNEL_PRECISION)                  # (N, P)
+            S = jax.lax.dot_general(
+                w_row, Cw, (((1,), (0,)), ((), ())),
+                preferred_element_type=fdt,
+                precision=_KERNEL_PRECISION) + s2_ref[0, qi]   # (1, P)
+            Sinv = 1.0 / S
+            K = Cw * Sinv                                     # (N, P)
+            CwAB = jax.lax.dot_general(
+                Eab, Cw, (((1,), (0,)), ((), ())),
+                preferred_element_type=fdt,
+                precision=_KERNEL_PRECISION)                  # (2*PPp, P)
+            c_scr[qi] = c - CwAB[:PPp] * CwAB[PPp:] * Sinv
+            Ks.append(K)
+            Sinvs.append(Sinv)
+
+        M = M_scr[:]                                          # (N, d, P)
+        m = jax.lax.dot_general(
+            w_row, M, (((1,), (0,)), ((), ())),
+            preferred_element_type=fdt,
+            precision=_KERNEL_PRECISION)[0]                   # (d, P)
+        ll = jnp.zeros((1, P_TILE), fdt)
+        M_cols = []
+        for dim in range(d):
+            y_td = ydata_ref[t, dim]
+            xmm = y_td - m[dim][None, :]                      # (1, P)
+            K = Ks[Cind[dim]]
+            Sinv = Sinvs[Cind[dim]]
+            M_cols.append(M[:, dim, :] + K * xmm[0][None, :])
+            ll = ll - 0.5 * (xmm * xmm * Sinv - jnp.log(Sinv) + LOG_2PI)
+        M_scr[:] = jnp.stack(M_cols, axis=1)
+        acc_scr[:] = acc_scr[:] + ll
+
+    Eab = jnp.concatenate([Ea_ref[:], Eb_ref[:]], axis=0)     # (2*PPp, N)
+    # all states' mean propagators stacked: one GEMM instead of n
+    BallN = jnp.concatenate([Bs_ref[s] for s in range(n)], axis=0)  # (n*N, N)
+
+    @pl.when(valid_ref[0, 0] != 0)
+    def _():
+        kalman_update(0)
+
+    # ---- frame loop ------------------------------------------------------
+    def body(t, _):
+        masks = masks_for(t)
+
+        # packed covariance: c' = P_s c + sig_s, all states in ONE GEMM
+        for qi in range(q):
+            c = c_scr[qi]                                     # (PPp, P)
+            Pc_all = jax.lax.dot_general(
+                Pall_ref[:], c, (((1,), (0,)), ((), ())),
+                preferred_element_type=fdt,
+                precision=_KERNEL_PRECISION)                  # (n*PPp, P)
+            cp = ((Pc_all[0:PPp] + sig_ref[0][:, None]) * masks[0])
+            for s in range(1, n):
+                cp = cp + ((Pc_all[s * PPp:(s + 1) * PPp]
+                            + sig_ref[s][:, None]) * masks[s])
+            c_scr[qi] = cp
+
+        # mean: M' = B M + G (dense; means are (N, d), not symmetric)
+        M = M_scr[:]                                          # (N, d, P)
+        BM_all = jax.lax.dot_general(
+            BallN, M, (((1,), (0,)), ((), ())),
+            preferred_element_type=fdt,
+            precision=_KERNEL_PRECISION)                      # (n*N, d, P)
+        Mp = (BM_all[0:N] + Gs_ref[0][:, :, None]) * bcast(masks[0])
+        for s in range(1, n):
+            Mp = Mp + ((BM_all[s * N:(s + 1) * N] + Gs_ref[s][:, :, None])
+                       * bcast(masks[s]))
+        M_scr[:] = Mp
+
+        @pl.when(valid_ref[t, 0] != 0)
+        def _():
+            kalman_update(t)
+
+        return ()
+
+    jax.lax.fori_loop(1, T, body, (), unroll=False)
+
+    out_ref[:] = acc_scr[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("PPp", "Cind_static", "interpret"))
+def _pallas_call_sym(Pall, sig_pack, c0_pack, Gw, Ea, Eb,
+                     Bs, Gs, M0s, w, s2, profiles, ydata, valid,
+                     PPp, Cind_static, interpret):
+    n, N, _ = Bs.shape
+    d = Gs.shape[2]
+    fdt = Bs.dtype
+
+    profiles = jnp.asarray(profiles, dtype=jnp.int32)
+    P_in, T = profiles.shape
+    in_range = jnp.all((profiles >= 0) & (profiles < n), axis=1)
+    P = -(-P_in // P_TILE) * P_TILE
+    if P != P_in:
+        profiles = jnp.concatenate(
+            [profiles, jnp.broadcast_to(profiles[:1], (P - P_in, T))], axis=0)
+    profT = profiles.T
+    w = jnp.asarray(w, dtype=fdt)[None, :]
+    s2 = jnp.asarray(s2, dtype=fdt)[None, :]
+    ydata = jnp.asarray(ydata, dtype=fdt)
+    valid_i32 = jnp.asarray(valid).astype(jnp.int32)[:, None]
+    q = s2.shape[1]
+
+    kernel = functools.partial(
+        _kernel, n=n, N=N, d=d, q=q, T=T, PPp=PPp, Cind=Cind_static)
+
+    grid = (P // P_TILE,)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n * PPp, PPp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, PPp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, PPp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, PPp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PPp, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PPp, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, N, N), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, N, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, N, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, P_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, P_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, P), fdt),
+        scratch_shapes=[
+            pltpu.VMEM((q, PPp, P_TILE), fdt),
+            pltpu.VMEM((N, d, P_TILE), fdt),
+            pltpu.VMEM((1, P_TILE), fdt),
+        ],
+        interpret=interpret,
+    )(Pall, sig_pack, c0_pack, Gw, Ea, Eb, Bs, Gs, M0s, w, s2,
+      profT, ydata, valid_i32)
+    return jnp.where(in_range, out[0, :P_in], jnp.nan)
+
+
+def msrouse_logL_pallas_sym(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
+                            profiles, ydata, valid, interpret=False):
+    """
+    Drop-in equivalent of `kalman.msrouse_logL_batch` backed by the
+    symmetric-packed Pallas kernel. Requires CONCRETE (non-traced) model
+    arrays — the packed operators are precomputed on host (f64) and cached;
+    model arrays are module-level constants in every caller.
+    """
+    Cind_static = tuple(int(c) for c in np.asarray(Cind))
+    (Pall, sig_pack, c0_pack, Gw, Ea, Eb), PPp = sym_operators(
+        Bs, Sigs, C0s, w, jnp.asarray(Bs).dtype)
+    return _pallas_call_sym(Pall, sig_pack, c0_pack, Gw, Ea, Eb,
+                            jnp.asarray(Bs), jnp.asarray(Gs),
+                            jnp.asarray(M0s), w, s2,
+                            profiles, ydata, valid,
+                            PPp, Cind_static, interpret)

@@ -1,0 +1,70 @@
+"""Symmetric-packed Pallas kernel (`ops/kalman_sym.py`) parity, interpret
+mode on CPU, vs the XLA scan kernel — and operator-construction sanity."""
+import numpy as np
+import jax.numpy as jnp
+
+from bild_tpu import Trajectory
+from bild_tpu.models import MultiStateRouse
+from bild_tpu.ops.kalman import msrouse_logL_batch
+from bild_tpu.ops.kalman_sym import (msrouse_logL_pallas_sym,
+                                     _build_sym_operators)
+
+
+def _case(rng, N=12, d=3, T=40, P=70, locerr=(0.1, 0.2, 0.1), missing=(0, 5, 17)):
+    model = MultiStateRouse(N, 1.0, 4.0, d=d, localization_error=list(locerr))
+    data = rng.normal(size=(T, d))
+    for t in missing:
+        data[t] = np.nan
+    traj = Trajectory.create(data)
+    profiles = rng.integers(0, 2, size=(P, T)).astype(np.int32)
+    s2, Cind = model._noise_arrays(traj)
+    args = (model.Bs, model.Gs, model.Sigs, model.M0s, model.C0s,
+            model.w, s2, Cind, jnp.asarray(profiles), traj.data, traj.valid)
+    return args
+
+
+def test_sym_interpret_parity(rng):
+    args = _case(rng)
+    want = np.asarray(msrouse_logL_batch(*args))
+    got = np.asarray(msrouse_logL_pallas_sym(*args, interpret=True))
+    # x64 in tests: the packed reformulation is algebraically exact
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_sym_interpret_parity_padding(rng):
+    args = _case(rng, P=3, T=12, missing=())
+    want = np.asarray(msrouse_logL_batch(*args))
+    got = np.asarray(msrouse_logL_pallas_sym(*args, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_sym_out_of_range_states_yield_nan(rng):
+    model = MultiStateRouse(8, 1, 5, d=1, localization_error=0.5)
+    traj = Trajectory.create(np.linspace(0.0, 1.0, 5))
+    s2, Cind = model._noise_arrays(traj)
+    profiles = np.array([[0, 1, 1, 0, 1],
+                         [0, 1, 2, 0, 1]])
+    got = np.asarray(msrouse_logL_pallas_sym(
+        model.Bs, model.Gs, model.Sigs, model.M0s, model.C0s,
+        model.w, s2, Cind, profiles, traj.data, traj.valid, interpret=True))
+    assert np.isfinite(got[0]) and np.isnan(got[1])
+
+
+def test_packed_operator_matches_dense_conjugation(rng):
+    """P_s c == pack(B C B^T) for random symmetric C."""
+    model = MultiStateRouse(9, 1.0, 4.0, d=1, localization_error=0.2)
+    Pall, sig, c0, Gw, Ea, Eb, PPp = _build_sym_operators(
+        model.Bs, model.Sigs, model.C0s, model.w)
+    n, N, _ = np.asarray(model.Bs).shape
+    ia, ja = np.triu_indices(N)
+    A = rng.normal(size=(N, N))
+    C = A @ A.T
+    c = np.zeros(PPp)
+    c[: len(ia)] = C[ia, ja]
+    B = np.asarray(model.Bs, dtype=np.float64)
+    for s in range(n):
+        want = (B[s] @ C @ B[s].T)[ia, ja]
+        got = (Pall[s * PPp:(s + 1) * PPp] @ c)[: len(ia)]
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+    # Gw c == C @ w
+    np.testing.assert_allclose(Gw @ c, C @ np.asarray(model.w), rtol=1e-10)
