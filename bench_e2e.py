@@ -12,7 +12,8 @@ Configs (BASELINE.md "North-star targets"):
      (throughput metric: trajectories/s warm)
   4  3-state model, T=1000 frames, batched lockstep AMIS
   5  10,240-trajectory dataset, single chip (the "10k trajectories in
-     minutes" target; pass --configs 5 explicitly, it runs ~10-15 min)
+     minutes" target; pass --configs 5 explicitly, it runs ~5-10 min)
+  6  GenericGaussianModel dataset inference (device interval tables)
 
 Usage:
   python bench_e2e.py [--configs 2,3,4] [--out PERF.json]
@@ -191,13 +192,51 @@ def config5():
     }
 
 
+def config6():
+    """GenericGaussianModel dataset inference (device interval tables)."""
+    import jax
+    from bild_tpu.models import GenericGaussianModel as GGM
+    from bild_tpu.parallel import sample_batch, stack_trajectories
+
+    rng = np.random.default_rng(6)
+    model = GGM([
+        [(GGM.MSD_function_twoLocusRouse(G=1.0, J=5.0), 0.1, 0)],
+        [(GGM.MSD_function_twoLocusRouse(G=0.2, J=1.0), 0.1, 0)],
+    ])
+    B, T = 64, 100
+    truths = _truth_profiles(rng, B, T, 2)
+    trajs = [model.trajectory_from_loopingprofile(truths[b], rng=rng)
+             for b in range(B)]
+    batch = stack_trajectories(trajs)
+
+    def run():
+        model.clear_memo()            # warm = batched table build + inference
+        return sample_batch(model, batch, k_max=4, steps_per_k=12, N=128,
+                            scout_steps=4, refine_top=3,
+                            key=jax.random.key(6))
+
+    res = run()                       # warm (compiles + table build)
+    t0 = time.perf_counter()
+    res = run()
+    dt = time.perf_counter() - t0
+    return {
+        "config": 6,
+        "model": "GenericGaussianModel",
+        "B": B,
+        "wall_s_warm": round(dt, 2),
+        "traj_per_s": round(B / dt, 2),
+        "frame_accuracy": _accuracy(res.best_profile(), truths),
+        "switch_count_accuracy": _switch_accuracy(res.best_k(), truths),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="2,3,4")
+    ap.add_argument("--configs", default="2,3,4,6")
     ap.add_argument("--out", default="PERF.json")
     args = ap.parse_args()
 
-    runners = {2: config2, 3: config3, 4: config4, 5: config5}
+    runners = {2: config2, 3: config3, 4: config4, 5: config5, 6: config6}
     results = {}
     for c in [int(x) for x in args.configs.split(",")]:
         print(f"== config {c} ==", flush=True)

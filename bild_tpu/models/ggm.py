@@ -224,6 +224,7 @@ class GenericGaussianModel(MultiStateModel):
 
     def clear_memo(self):
         self._table_cache = None
+        self._lockstep_table_cache = None
 
     # -- device interval table ---------------------------------------------
     def interval_table(self, traj) -> jax.Array:
@@ -238,7 +239,16 @@ class GenericGaussianModel(MultiStateModel):
         return V
 
     def _build_interval_table(self, data, valid) -> jax.Array:
-        T, d = data.shape
+        return self._build_interval_tables_batch(
+            np.asarray(data)[None], np.asarray(valid)[None])[0]
+
+    def _build_interval_tables_batch(self, data, valid) -> jax.Array:
+        """``(B, n, T, T+1)`` interval tables for a whole trajectory batch.
+        One vmapped device dispatch per (length-bucket, state, dim) covers
+        ALL trajectories — a per-trajectory host loop costs a device sync
+        per trajectory per bucket and dominated dataset-mode GGM wall time
+        (measured ~1 traj/s at B=64 vs ~20 batched)."""
+        B, T, d = data.shape
         n = self.nStates
         dt = fdtype()
 
@@ -262,31 +272,36 @@ class GenericGaussianModel(MultiStateModel):
                     next(b for b in _length_buckets(T + 1) if b >= wlen),
                     []).append((t0, t1))
 
-        values = jnp.asarray(data, dtype=dt)
-        valid_j = jnp.asarray(valid)
-        V = np.zeros((n, T, T + 1))
+        values = jnp.asarray(data, dtype=dt)          # (B, T, d)
+        valid_j = jnp.asarray(valid)                  # (B, T)
+        V = np.zeros((B, n, T, T + 1))
 
         for Lb, pairs in buckets.items():
             t0s = np.fromiter((p[0] for p in pairs), dtype=np.int32)
             t1s = np.fromiter((p[1] for p in pairs), dtype=np.int32)
-            chunk = int(min(2048, max(8, (1 << 21) // (Lb * Lb))))
+            # chunked lax.map inside _interval_entries bounds peak memory;
+            # the budget is shared by the batch axis
+            chunk = int(min(2048, max(8, (1 << 24) // (Lb * Lb * B))))
             n_pad = -len(pairs) % chunk
             t0p = np.concatenate([t0s, np.zeros(n_pad, np.int32)]).reshape(-1, chunk)
             t1p = np.concatenate([t1s, np.ones(n_pad, np.int32)]).reshape(-1, chunk)
             t0j, t1j = jnp.asarray(t0p), jnp.asarray(t1p)
 
             for s in range(n):
-                acc = np.zeros(t0p.size)
+                acc = np.zeros((B, t0p.size))
                 for dim in range(d):
                     _, mean, sso = self.state_spec[s, dim]
-                    ent = _interval_entries(
-                        t0j, t1j, values[:, dim], valid_j,
+                    entries_b = jax.vmap(
+                        functools.partial(_interval_entries,
+                                          ss_order=int(sso), Lb=Lb),
+                        in_axes=(None, None, 0, 0, None, None, None))
+                    ent = entries_b(
+                        t0j, t1j, values[:, :, dim], valid_j,
                         jnp.asarray(msd_tabs[s, dim], dtype=dt),
                         jnp.asarray(plateaus[s, dim], dtype=dt),
-                        jnp.asarray(mean, dtype=dt),
-                        ss_order=int(sso), Lb=Lb)
-                    acc += np.asarray(ent, dtype=float).ravel()
-                V[s, t0s, t1s] = acc[: len(pairs)]
+                        jnp.asarray(mean, dtype=dt))
+                    acc += np.asarray(ent, dtype=float).reshape(B, -1)
+                V[:, s, t0s, t1s] = acc[:, : len(pairs)]
 
         return jnp.asarray(V, dtype=dt)
 
@@ -348,11 +363,13 @@ class GenericGaussianModel(MultiStateModel):
         likelihood is the gather-sum `_profile_table_sum`.
         """
         B = batch.data.shape[0]
-        tables = jnp.stack([
-            self._build_interval_table(np.asarray(batch.data[b]),
-                                       np.asarray(batch.valid[b])).reshape(-1)
-            for b in range(B)
-        ])
+        cache = getattr(self, "_lockstep_table_cache", None)
+        if cache is not None and cache[0] is batch.data:
+            tables = cache[1]
+        else:
+            tables = self._build_interval_tables_batch(
+                np.asarray(batch.data), np.asarray(batch.valid)).reshape(B, -1)
+            self._lockstep_table_cache = (batch.data, tables)
 
         if not hasattr(self, "_lockstep_logL_fn"):
             n = self.nStates
