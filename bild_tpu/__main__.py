@@ -1,0 +1,114 @@
+"""
+Command-line entry point: dataset-scale looping inference.
+
+    python -m bild_tpu DATA.csv --out results.npz [options]
+
+Reads a trajectory table (``traj_id, frame, v0..v{d-1}``; see `bild_tpu.io`),
+runs `sample_dataset` on a MultiStateRouse looping model, and writes per-
+trajectory evidence curves, best switch counts, and MAP looping profiles.
+The reference package has no CLI (library-only); this is the batteries-
+included path for the 10k-trajectory production runs it was built for.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="python -m bild_tpu",
+        description="BILD looping inference over a trajectory dataset")
+    p.add_argument("data", help="CSV/TSV table: traj_id, frame, values...")
+    p.add_argument("--out", default="bild_results.npz",
+                   help="output npz path (default bild_results.npz)")
+    p.add_argument("--two-locus", action="store_true",
+                   help="value columns are two loci; model their difference")
+    p.add_argument("--localization-error", type=float, default=0.1)
+    p.add_argument("--monomers", type=int, default=20,
+                   help="Rouse chain length N (default 20)")
+    p.add_argument("--D", type=float, default=1.0)
+    p.add_argument("--k", type=float, default=5.0)
+    p.add_argument("--k-max", type=int, default=10,
+                   help="max switch count explored (default 10)")
+    p.add_argument("--steps-per-k", type=int, default=20)
+    p.add_argument("--proposals", type=int, default=128,
+                   help="AMIS proposals per step (default 128)")
+    p.add_argument("--scout-steps", type=int, default=4,
+                   help="two-phase schedule scouting steps (0 = full budget "
+                        "for every k)")
+    p.add_argument("--refine-top", type=int, default=3)
+    p.add_argument("--dE", type=float, default=0.0)
+    p.add_argument("--chunk-size", type=int, default=1024)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="chunk-granular resume directory")
+    p.add_argument("--marginals", action="store_true",
+                   help="also compute per-frame state posteriors")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard chunks over all visible devices")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from . import io as bio
+    from .models import MultiStateRouse
+    from .parallel import make_mesh, sample_dataset
+
+    trajs = bio.load_trajectories_csv(
+        args.data, two_locus=args.two_locus,
+        localization_error=args.localization_error)
+    if not trajs:
+        print("no trajectories found", file=sys.stderr)
+        return 1
+    d = trajs[0].d
+    if not args.quiet:
+        lens = [len(t) for t in trajs]
+        print(f"{len(trajs)} trajectories, d={d}, "
+              f"T in [{min(lens)}, {max(lens)}]")
+
+    model = MultiStateRouse(args.monomers, args.D, args.k, d=d,
+                            localization_error=args.localization_error)
+
+    res = sample_dataset(
+        model, trajs,
+        k_max=args.k_max, steps_per_k=args.steps_per_k, N=args.proposals,
+        dE=args.dE,
+        scout_steps=args.scout_steps or None, refine_top=args.refine_top,
+        marginals=args.marginals,
+        chunk_size=args.chunk_size,
+        mesh=make_mesh() if args.mesh else None,
+        key=jax.random.key(args.seed),
+        checkpoint_dir=args.checkpoint_dir,
+        show_progress=not args.quiet)
+
+    best_k = res.best_k()
+    profiles = res.best_profile()
+    out = {
+        "k": res.k,
+        "evidence": res.evidence,
+        "evidence_se": res.evidence_se,
+        "best_k": best_k,
+        "lengths": np.array([len(p) for p in profiles]),
+        "best_profiles": np.array(profiles, dtype=object),
+    }
+    if args.marginals:
+        out["log_marginal_posterior"] = np.array(
+            res.log_marginal_posterior(dE="average"), dtype=object)
+    np.savez(args.out, **out)
+    if not args.quiet:
+        hist = np.bincount(best_k, minlength=args.k_max + 1)
+        print(f"switch-count histogram: {hist.tolist()}")
+        print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,206 @@
+"""
+Dataset-scale inference driver: the loop the reference tells users to write
+themselves (reference ``bild/amis.py:732-733`` rejects parallelism; its
+users iterate `bild.sample` over trajectories). `sample_dataset` owns the
+whole pipeline:
+
+    ragged trajectories -> length buckets -> fixed-size chunks
+      -> lockstep `sample_batch` per chunk (sharded over a mesh if given)
+      -> per-chunk checkpoint files -> original-order DatasetResults
+
+Chunking bounds device memory and compile shapes (every chunk of a bucket
+reuses one compiled program); the per-chunk checkpoint makes 10k-trajectory
+runs resumable at chunk granularity — kill it anywhere, rerun the same
+command, completed chunks load from disk.
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from .batch import bucket_trajectories, sample_batch, TrajectoryBatch
+
+__all__ = ["DatasetResults", "sample_dataset"]
+
+
+@dataclasses.dataclass
+class DatasetResults:
+    """Per-trajectory results in the ORIGINAL dataset order; trajectories
+    keep their true lengths (profiles/marginals are trimmed from bucket
+    padding)."""
+
+    k: np.ndarray                       # (K+1,)
+    evidence: np.ndarray                # (B, K+1)
+    evidence_se: np.ndarray             # (B, K+1)
+    profiles_by_k: List[np.ndarray]     # B entries, each (K+1, T_i)
+    dE: float = 0.0
+    marginals: Optional[List[np.ndarray]] = None  # B entries, (K+1, n, T_i)
+
+    def best_k(self, dE=None) -> np.ndarray:
+        dE = self.dE if dE is None else dE
+        plausible = self.evidence >= (
+            np.max(self.evidence, axis=1, keepdims=True) - dE)
+        return np.argmax(plausible, axis=1)
+
+    def best_profile(self, dE=None) -> List[np.ndarray]:
+        bk = self.best_k(dE)
+        return [p[k] for p, k in zip(self.profiles_by_k, bk)]
+
+    def log_marginal_posterior(self, dE=None) -> List[np.ndarray]:
+        if self.marginals is None:
+            raise ValueError("run sample_dataset(..., marginals=True) first")
+        from scipy.special import logsumexp
+        if isinstance(dE, str) and dE == "average":
+            out = []
+            for ev, m in zip(self.evidence, self.marginals):
+                finite = np.isfinite(ev)
+                w = np.where(finite[:, None, None],
+                             m + ev[:, None, None], -np.inf)
+                logpost = logsumexp(w, axis=0)
+                out.append(logpost - logsumexp(logpost, axis=0,
+                                               keepdims=True))
+            return out
+        bk = self.best_k(dE)
+        return [m[k] for m, k in zip(self.marginals, bk)]
+
+
+def _chunk_tag(indices, batch, config_str):
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(indices).tobytes())
+    h.update(np.asarray(batch.data).tobytes())
+    h.update(config_str.encode())
+    return h.hexdigest()[:16]
+
+
+def sample_dataset(model, trajs: Sequence,
+                   k_max=10,
+                   steps_per_k=20,
+                   N=128,
+                   dE=0.0,
+                   scout_steps=None,
+                   refine_top=3,
+                   informed_init=True,
+                   marginals=False,
+                   chunk_size=1024,
+                   bucket_edges=(64, 128, 256, 512, 1024),
+                   mesh=None,
+                   key=None,
+                   checkpoint_dir=None,
+                   show_progress=False,
+                   **sample_kw) -> DatasetResults:
+    """
+    Full-dataset lockstep inference over ragged trajectories.
+
+    Parameters mirror `sample_batch` (scout_steps/refine_top enable the
+    two-phase budget schedule) plus:
+
+    chunk_size : int
+        max trajectories per device dispatch (bounds memory; every chunk of
+        a bucket reuses one compiled program).
+    bucket_edges : sequence of int
+        pad-to lengths for ragged trajectories (`bucket_trajectories`).
+    checkpoint_dir : optional path
+        directory for per-chunk result files. A rerun with the same
+        trajectories and configuration loads completed chunks from disk
+        instead of recomputing — chunk-granular resume for long runs. Files
+        are keyed by a content hash of (chunk data, configuration), so a
+        changed configuration recomputes rather than mixing results.
+    show_progress : bool
+        tqdm over chunks.
+
+    Returns `DatasetResults` in the original trajectory order.
+    """
+    if key is None:
+        key = jax.random.key(np.random.randint(2**31))
+    if checkpoint_dir is not None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    config_str = repr(("v1", k_max, steps_per_k, N, scout_steps, refine_top,
+                       informed_init, marginals, chunk_size,
+                       np.asarray(jax.random.key_data(key)).tolist()))
+
+    B_total = len(trajs)
+    K1 = k_max + 1
+    evidence = np.full((B_total, K1), np.nan)
+    evidence_se = np.full((B_total, K1), np.nan)
+    profiles_by_k: List[Optional[np.ndarray]] = [None] * B_total
+    margs_by_traj: List[Optional[np.ndarray]] = [None] * B_total
+
+    # stable chunk schedule: bucket, then split each bucket
+    work = []
+    for idx, batch in bucket_trajectories(trajs, bucket_edges=bucket_edges):
+        for lo in range(0, len(idx), chunk_size):
+            sl = slice(lo, lo + chunk_size)
+            sub = TrajectoryBatch(
+                data=batch.data[sl], valid=batch.valid[sl],
+                lengths=None if batch.lengths is None else batch.lengths[sl])
+            work.append((idx[sl], sub))
+
+    iterator = work
+    if show_progress:
+        try:
+            from tqdm.auto import tqdm
+            iterator = tqdm(work, desc="chunks")
+        except ImportError:
+            pass
+
+    for c, (indices, sub) in enumerate(iterator):
+        ck_path = None
+        loaded = None
+        if checkpoint_dir is not None:
+            tag = _chunk_tag(indices, sub, config_str)
+            ck_path = os.path.join(checkpoint_dir, f"chunk_{tag}.npz")
+            if os.path.exists(ck_path):
+                loaded = np.load(ck_path)
+
+        if loaded is not None:
+            ev, se = loaded["evidence"], loaded["evidence_se"]
+            maps = loaded["map_profiles"]
+            marg = loaded["marginals"] if marginals else None
+        else:
+            res = sample_batch(
+                model, sub, k_max=k_max, steps_per_k=steps_per_k, N=N,
+                dE=dE, scout_steps=scout_steps, refine_top=refine_top,
+                informed_init=informed_init, marginals=marginals,
+                mesh=mesh, key=jax.random.fold_in(key, c), **sample_kw)
+            ev, se, maps = res.evidence, res.evidence_se, res.map_profiles
+            marg = res.marginals
+            if ck_path is not None:
+                tmp = ck_path + ".tmp.npz"
+                np.savez(tmp, evidence=ev, evidence_se=se,
+                         map_profiles=maps,
+                         marginals=(marg if marginals else np.zeros(0)))
+                os.replace(tmp, ck_path)
+
+        k_here = ev.shape[1]
+        lengths = (np.asarray(sub.lengths) if sub.lengths is not None
+                   else np.full(len(indices), sub.T))
+        for row, i in enumerate(np.asarray(indices)):
+            evidence[i, :k_here] = ev[row]
+            evidence[i, k_here:] = -np.inf
+            evidence_se[i, :k_here] = se[row]
+            evidence_se[i, k_here:] = 1e-10
+            Ti = int(lengths[row])
+            prof = np.zeros((K1, Ti), dtype=int)
+            prof[:k_here] = maps[:, row, :Ti]
+            profiles_by_k[i] = prof
+            if marginals:
+                n = marg.shape[2]
+                m = np.full((K1, n, Ti), -np.inf)
+                m[:k_here] = marg[:, row, :, :Ti]
+                margs_by_traj[i] = m
+
+    return DatasetResults(
+        k=np.arange(K1),
+        evidence=evidence,
+        evidence_se=evidence_se,
+        profiles_by_k=profiles_by_k,
+        dE=dE,
+        marginals=margs_by_traj if marginals else None,
+    )

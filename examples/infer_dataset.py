@@ -2,7 +2,8 @@
 End-to-end example: dataset-scale looping inference.
 
 1. Load trajectories from a CSV table (native C++ parser) or synthesize them.
-2. Bucket ragged lengths, lockstep-infer each bucket across all devices.
+2. `sample_dataset`: buckets ragged lengths, chunks, lockstep-infers
+   across all devices with the scout/refine budget schedule.
 3. Report per-trajectory best profiles + switch-count posterior summary.
 
 Run:  python examples/infer_dataset.py [dataset.csv]
@@ -17,7 +18,7 @@ import numpy as np
 import jax
 
 import bild_tpu as bild
-from bild_tpu.parallel import (bucket_trajectories, make_mesh, sample_batch)
+from bild_tpu.parallel import make_mesh, sample_dataset
 
 
 def synthesize(model, B=64, T=100, seed=0):
@@ -49,18 +50,20 @@ def main():
     mesh = make_mesh()
     print(f"devices: {mesh.devices.size}")
 
+    # sample_dataset owns bucketing, chunking, and original-order
+    # reassembly; the scouted schedule spends the full budget only on each
+    # trajectory's most plausible switch counts. (For manual control over
+    # buckets, see `bucket_trajectories` + `sample_batch`.)
     t0 = time.time()
-    for idx, batch in bucket_trajectories(trajs):
-        res = sample_batch(model, batch, k_max=4, steps_per_k=15,
-                           mesh=mesh, key=jax.random.key(42),
-                           informed_init=True)
-        best_k = res.best_k(dE=0)
-        profiles = res.best_profile()
-        print(f"bucket T={batch.T}: {len(idx)} trajectories, "
-              f"k histogram {np.bincount(best_k, minlength=5)}")
-        for row, i in enumerate(idx[:3]):
-            print(f"  traj {i}: k={best_k[row]}, "
-                  f"profile {''.join(map(str, profiles[row][:40]))}...")
+    res = sample_dataset(model, trajs, k_max=4, steps_per_k=15,
+                         scout_steps=4, refine_top=3, informed_init=True,
+                         mesh=mesh, key=jax.random.key(42))
+    best_k = res.best_k(dE=0)
+    profiles = res.best_profile()
+    print(f"k histogram {np.bincount(best_k, minlength=5)}")
+    for i in range(min(3, len(trajs))):
+        print(f"  traj {i}: k={best_k[i]}, "
+              f"profile {''.join(map(str, profiles[i][:40]))}...")
     print(f"total wall: {time.time() - t0:.1f}s")
 
 
