@@ -69,14 +69,19 @@ def sample(traj, model,
     log = {"k": [], "pk": [], "KLD": [], "I_la": []}
     memory = {"fresh sample": False}
 
-    def add_sample(k):
-        if samplers[k].step():
+    def add_samples(k, n=1):
+        ran = samplers[k].steps(n)
+        for _ in range(ran):
             if bar is not None:
                 bar.update()
             for entry in log.values():
                 entry.append(None)
             log["k"][-1] = k
+        if ran:
             memory["fresh sample"] = True
+
+    def add_sample(k):
+        add_samples(k, 1)
 
     def determine_next_step():
         k_new = len(samplers)
@@ -88,7 +93,7 @@ def sample(traj, model,
 
         logE = np.array([s.evidences[-1][0] for s in samplers])
         dlogE = np.array([s.evidences[-1][1] for s in samplers])
-        N = np.array([np.inf if s.exhausted else int(s.state.n_steps)
+        N = np.array([np.inf if s.exhausted else s.n_steps_host
                       for s in samplers])
 
         cs = ChoiceSampler(logE, dlogE**2, N, dE, **choice_kw)
@@ -128,8 +133,9 @@ def sample(traj, model,
         assert k == len(samplers)
         key, sub = jax.random.split(key)
         samplers.append(FixedkSampler(traj, model, k=k, key=sub, **sampler_kw))
-        for _ in range(init_runs):
-            add_sample(k)
+        # all init runs in ONE device dispatch (per-step host fetches
+        # dominate adaptive-mode latency on remote TPUs)
+        add_samples(k, init_runs)
 
     k_next = 0
     run_condition = True

@@ -380,6 +380,17 @@ def sample_batch(model, batch: TrajectoryBatch,
                          "combined with checkpoint (per-k resume)")
 
     B_real = batch.B
+    # trim the all-invalid tail of a padded bucket: frames past every
+    # trajectory's true length cost full kernel propagation and contribute
+    # nothing (a T=70 trajectory in a 128-bucket would waste ~45%). Results
+    # are edge-padded back to the input T below.
+    T_in = batch.T
+    if batch.lengths is not None and batch.B > 0:
+        T_eff = max(int(np.max(np.asarray(batch.lengths))), 1)
+        if T_eff < T_in:
+            batch = TrajectoryBatch(data=batch.data[:, :T_eff],
+                                    valid=batch.valid[:, :T_eff],
+                                    lengths=batch.lengths)
     if mesh is not None:
         batch = pad_batch_rows(batch, -batch.B % mesh.shape["data"])
 
@@ -558,11 +569,25 @@ def sample_batch(model, batch: TrajectoryBatch,
         evidence = np.where(over, -np.inf, evidence)
         evidence_se = np.where(over, 1e-10, evidence_se)
 
+    map_profiles = np.stack(maps, axis=0)[:, :B_real]
+    margs_out = np.stack(margs, axis=0)[:, :B_real] if marginals else None
+    if map_profiles.shape[-1] < T_in:
+        # restore the input length: trailing all-invalid frames carry the
+        # edge state (profiles span missing frames) and uniform marginals
+        pad = T_in - map_profiles.shape[-1]
+        map_profiles = np.pad(map_profiles, [(0, 0), (0, 0), (0, pad)],
+                              mode="edge")
+        if margs_out is not None:
+            margs_out = np.concatenate(
+                [margs_out,
+                 np.full(margs_out.shape[:3] + (pad,), -math.log(n))],
+                axis=-1)
+
     return BatchResults(
         k=np.arange(k_max + 1),
         evidence=evidence[:B_real],
         evidence_se=evidence_se[:B_real],
-        map_profiles=np.stack(maps, axis=0)[:, :B_real],
+        map_profiles=map_profiles,
         dE=dE,
-        marginals=np.stack(margs, axis=0)[:, :B_real] if marginals else None,
+        marginals=margs_out,
     )

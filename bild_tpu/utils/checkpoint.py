@@ -98,18 +98,20 @@ def load_results(path, model) -> SamplingResults:
         s.T = len(traj)
         s.evidences = [tuple(e) for e in smeta["evidences"]]
         s._exhaustive = None
+        s._steps_host = 0
 
         if not smeta["degenerate"]:
             if s.k != smeta["k"] or model.nStates != arrays[f"s{i}_logps"].shape[1]:
                 raise ValueError("model/checkpoint mismatch")
             from ..amis.cfc import CFC
-            from ..amis.sampler import _make_fused_step
+            from ..amis.sampler import _make_fused_steps
             import math
             s._fused = None
             s._per_traj = None
+            s._steps_host = int(arrays[f"s{i}_n_steps"])
             try:
                 s._per_traj, logL_fn = model.lockstep_fns_single(traj)
-                s._fused = _make_fused_step(logL_fn, s.N, s.T)
+                s._fused = _make_fused_steps(logL_fn, s.N, s.T)
             except (AttributeError, ValueError):
                 pass
             s.cfc = CFC(model.transitions)

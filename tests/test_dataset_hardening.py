@@ -42,6 +42,28 @@ class TestTrueLengthGuard:
         assert res.best_k()[0] < 4
 
 
+class TestBucketTailTrim:
+    def test_results_restore_bucket_length(self, rng):
+        # all trajectories shorter than the bucket: the kernel runs at the
+        # trimmed length, results come back edge-padded to the bucket T
+        model = _model()
+        trajs = _trajs(rng, [9, 11, 10])
+        batch = stack_trajectories(trajs, T_pad=16)
+        res = sample_batch(model, batch, k_max=2, steps_per_k=5, N=20,
+                           marginals=True, key=jax.random.key(0))
+        assert res.map_profiles.shape == (3, 3, 16)
+        # trailing frames carry the edge state
+        bp = res.best_profile()
+        for row, T in enumerate([9, 11, 10]):
+            assert np.all(bp[row, T:] == bp[row, T - 1])
+        # padded marginals stay normalized (uniform)
+        from scipy.special import logsumexp
+        with np.errstate(under="ignore"):
+            lp = res.log_marginal_posterior(dE=0)
+            np.testing.assert_array_almost_equal(
+                logsumexp(lp, axis=1), np.zeros((3, 16)), decimal=6)
+
+
 class TestMeshPadding:
     def test_non_divisible_B(self, rng):
         # B=5 on a 4-device data axis: padded internally, results stripped
