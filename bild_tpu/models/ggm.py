@@ -139,6 +139,59 @@ def _interval_entries(t0s, t1s, values, valid, msd_tab, plateau, mean,
     return jax.lax.map(lambda ab: jax.vmap(one)(*ab), (t0s, t1s))
 
 
+@functools.partial(jax.jit, static_argnames=("ss_order", "W", "T"))
+def _stationary_prefix_entries(values, u, cond, Lchol, logdet_cum, mean,
+                               c00, *, ss_order, W, T):
+    """
+    All interval contributions for gap-free trajectories via the Toeplitz
+    structure of stationary windows.
+
+    For a fully-observed trajectory, the window covariance of interval
+    ``[t0, t1)`` depends only on the WINDOW LENGTH (``C_kl = f(|k-l|)``), so
+    one Cholesky factor ``Lchol`` of the maximal window covariance is shared
+    by every start, its leading submatrices factor every shorter window, and
+    forward substitution is prefix-consistent: ONE batched triangular solve
+    per window start yields every ``t1`` at once via prefix sums of ``y^2``
+    (the per-interval Cholesky of the bucketed fallback is O(T^5) total
+    across the table; this is O(T^3)).
+
+    values : (B, T); u : (C,) window starts; cond : (C,) bool, continuity
+    conditioning (ss_order 0: first window datum enters RAW, and the caller
+    subtracts its marginal `lp0`). Returns ``(lp (B, C, W), lp0 (B, C))``
+    where ``lp[b, c, k]`` is the Gaussian log-density of the first ``k+1``
+    window entries (frames for ss0; increments for ss1).
+    """
+    B = values.shape[0]
+    C = u.shape[0]
+    dt = values.dtype
+    karange = jnp.arange(W)
+
+    idx = u[:, None] + karange[None, :]                    # (C, W)
+    if ss_order == 0:
+        inb = idx < T
+        g = values[:, jnp.clip(idx, 0, T - 1)]             # (B, C, W)
+        x = jnp.where((cond[:, None] & (karange == 0)[None, :])[None],
+                      g, g - mean)
+        lp0 = jnp.where(cond[None, :],
+                        -0.5 * (g[:, :, 0] ** 2 / c00 + jnp.log(c00)
+                                + LOG_2PI),
+                        0.0)
+    else:
+        inb = (idx + 1) < T
+        lo = values[:, jnp.clip(idx, 0, T - 1)]
+        hi = values[:, jnp.clip(idx + 1, 0, T - 1)]
+        x = hi - lo - mean
+        lp0 = jnp.zeros((B, C), dt)
+    x = jnp.where(inb[None], x, 0.0)
+
+    y = jax.scipy.linalg.solve_triangular(
+        Lchol, x.reshape(B * C, W).T, lower=True)          # (W, B*C)
+    quad = jnp.cumsum(y * y, axis=0)
+    lp = -0.5 * (quad + logdet_cum[:, None]
+                 + (karange + 1).astype(dt)[:, None] * LOG_2PI)
+    return lp.T.reshape(B, C, W), lp0
+
+
 @functools.partial(jax.jit, static_argnames=("n_states",))
 def _profile_table_sum(profiles, Vflat, n_states):
     """
@@ -244,10 +297,98 @@ class GenericGaussianModel(MultiStateModel):
 
     def _build_interval_tables_batch(self, data, valid) -> jax.Array:
         """``(B, n, T, T+1)`` interval tables for a whole trajectory batch.
-        One vmapped device dispatch per (length-bucket, state, dim) covers
-        ALL trajectories — a per-trajectory host loop costs a device sync
-        per trajectory per bucket and dominated dataset-mode GGM wall time
-        (measured ~1 traj/s at B=64 vs ~20 batched)."""
+
+        Gap-free trajectories take the Toeplitz fast path
+        (`_stationary_tables_batch`, shared Cholesky factor + one batched
+        triangular solve per (state, dim)); trajectories with missing frames
+        fall back to the bucketed masked path, whose per-interval Cholesky
+        handles arbitrary gap patterns."""
+        data = np.asarray(data)
+        valid = np.asarray(valid)
+        B = data.shape[0]
+        full = valid.all(axis=1)
+        try:
+            if np.all(full):
+                return self._stationary_tables_batch(data)
+            if np.any(full):
+                Vf = np.asarray(self._stationary_tables_batch(data[full]))
+                Vg = np.asarray(self._bucketed_tables_batch(data[~full],
+                                                            valid[~full]))
+                V = np.zeros((B,) + Vf.shape[1:])
+                V[full] = Vf
+                V[~full] = Vg
+                return jnp.asarray(V, dtype=fdtype())
+        except np.linalg.LinAlgError:   # degenerate stationary covariance
+            pass
+        return self._bucketed_tables_batch(data, valid)
+
+    def _stationary_tables_batch(self, data) -> jax.Array:
+        """Fast path for gap-free trajectories (see
+        `_stationary_prefix_entries` for the algebra)."""
+        B, T, d = data.shape
+        n = self.nStates
+        dt = fdtype()
+        lags = np.arange(T + 1, dtype=float)
+        V = np.zeros((B, n, T, T + 1))
+
+        t0s = np.arange(T)
+        us = np.maximum(t0s - 1, 0)
+        conds = t0s > 0
+
+        for s in range(n):
+            for dim in range(d):
+                msd_fun, mean, sso = self.state_spec[s, dim]
+                msd_tab = np.asarray(msd_fun(lags), dtype=float)
+                if int(sso) == 0:
+                    plateau = float(msd_fun(np.inf))
+                    W = T
+                    km = np.abs(np.subtract.outer(np.arange(W),
+                                                  np.arange(W)))
+                    Cfull = 0.5 * (plateau - msd_tab[km])
+                    c00 = 0.5 * plateau
+                else:
+                    W = max(T - 1, 1)
+                    km = np.abs(np.subtract.outer(np.arange(W),
+                                                  np.arange(W)))
+                    Cfull = 0.5 * (msd_tab[np.abs(km - 1)] + msd_tab[km + 1]
+                                   - 2 * msd_tab[km])
+                    c00 = 1.0
+                Lc = np.linalg.cholesky(Cfull)
+                logdet_cum = np.cumsum(2.0 * np.log(np.diag(Lc)))
+
+                vals_dev = jnp.asarray(data[:, :, dim], dtype=dt)
+                Lc_dev = jnp.asarray(Lc, dtype=dt)
+                ld_dev = jnp.asarray(logdet_cum, dtype=dt)
+                chunk = max(1, int((1 << 27) // max(B * W * 4, 1)))
+                for lo in range(0, T, chunk):
+                    hi = min(lo + chunk, T)
+                    lp, lp0 = _stationary_prefix_entries(
+                        vals_dev, jnp.asarray(us[lo:hi]),
+                        jnp.asarray(conds[lo:hi]), Lc_dev, ld_dev,
+                        jnp.asarray(float(mean), dtype=dt),
+                        jnp.asarray(float(c00), dtype=dt),
+                        ss_order=int(sso), W=W, T=T)
+                    lp = np.asarray(lp, dtype=float)       # (B, C, W)
+                    lp0 = np.asarray(lp0, dtype=float)     # (B, C)
+                    for ci, t0 in enumerate(range(lo, hi)):
+                        u = us[t0]
+                        t1s = np.arange(t0 + 1, T + 1)
+                        if int(sso) == 0:
+                            kidx = t1s - u - 1
+                            contrib = (lp[:, ci, kidx]
+                                       - lp0[:, ci][:, None])
+                        else:
+                            kidx = t1s - u - 2
+                            contrib = np.where(
+                                kidx[None, :] >= 0,
+                                lp[:, ci, np.maximum(kidx, 0)], 0.0)
+                        V[:, s, t0, t1s] += contrib
+        return jnp.asarray(V, dtype=dt)
+
+    def _bucketed_tables_batch(self, data, valid) -> jax.Array:
+        """Masked bucketed builder: one vmapped device dispatch per
+        (length-bucket, state, dim) covers all trajectories; handles
+        arbitrary missing-frame patterns."""
         B, T, d = data.shape
         n = self.nStates
         dt = fdtype()

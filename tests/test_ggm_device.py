@@ -19,6 +19,28 @@ def _mixed_model():
     ])
 
 
+class TestStationaryFastPath:
+    def test_matches_bucketed_on_gap_free(self, rng):
+        model = _mixed_model()
+        B, T = 3, 23
+        data = rng.normal(size=(B, T, 2))
+        valid = np.ones((B, T), dtype=bool)
+        Vfast = np.asarray(model._stationary_tables_batch(data))
+        Vslow = np.asarray(model._bucketed_tables_batch(data, valid))
+        np.testing.assert_allclose(Vfast, Vslow, atol=1e-9)
+
+    def test_dispatcher_merges_gap_rows(self, rng):
+        model = _mixed_model()
+        B, T = 3, 17
+        data = rng.normal(size=(B, T, 2))
+        valid = np.ones((B, T), dtype=bool)
+        valid[1, [0, 5, 6]] = False
+        data = np.where(valid[:, :, None], data, 0.0)
+        Vmix = np.asarray(model._build_interval_tables_batch(data, valid))
+        Vref = np.asarray(model._bucketed_tables_batch(data, valid))
+        np.testing.assert_allclose(Vmix, Vref, atol=1e-9)
+
+
 class TestIntervalTableParity:
     def test_mixed_orders_missing_frames(self, rng):
         model = _mixed_model()
