@@ -46,6 +46,8 @@ def build_parser():
                    help="chunk-granular resume directory")
     p.add_argument("--marginals", action="store_true",
                    help="also compute per-frame state posteriors")
+    p.add_argument("--optimize-boundaries", action="store_true",
+                   help="greedy boundary refinement of the MAP profiles")
     p.add_argument("--mesh", action="store_true",
                    help="shard chunks over all visible devices")
     p.add_argument("--seed", type=int, default=0)
@@ -87,7 +89,8 @@ def main(argv=None):
         mesh=make_mesh() if args.mesh else None,
         key=jax.random.key(args.seed),
         checkpoint_dir=args.checkpoint_dir,
-        show_progress=not args.quiet)
+        show_progress=not args.quiet,
+        optimize_boundaries=args.optimize_boundaries)
 
     best_k = res.best_k()
     profiles = res.best_profile()
@@ -102,6 +105,9 @@ def main(argv=None):
     if args.marginals:
         out["log_marginal_posterior"] = np.array(
             res.log_marginal_posterior(dE="average"), dtype=object)
+    if args.optimize_boundaries:
+        out["optimized_profiles"] = np.array(res.optimized, dtype=object)
+        out["boundary_elimination_flag"] = res.eliminated
     np.savez(args.out, **out)
     if not args.quiet:
         hist = np.bincount(best_k, minlength=args.k_max + 1)

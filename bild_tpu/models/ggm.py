@@ -271,9 +271,31 @@ class GenericGaussianModel(MultiStateModel):
     def d(self):
         return self.state_spec.shape[1]
 
-    def initial_loopingprofile(self, traj):  # pragma: no cover
-        # parity with the reference (bild/models.py:605-606)
-        raise NotImplementedError
+    def initial_loopingprofile(self, traj):
+        """Per-frame argmax of the single-frame interval scores (the
+        ``[t, t+1)`` diagonal of the interval table, i.e. each frame's
+        conditional log-likelihood given its predecessor). The reference
+        raises NotImplementedError here (``bild/models.py:605-606``); the
+        device interval table makes a sensible initial guess free."""
+        from ..profiles import Loopingprofile
+        return Loopingprofile(np.argmax(self._segment_table(traj), axis=0))
+
+    def _segment_table(self, traj):
+        """``(n, T)`` frame-factorized scores: the single-frame diagonal of
+        the interval table. Enables DP-segmentation informed init
+        (`segment_guess`) for GGM."""
+        V = np.asarray(self.interval_table(traj))      # (n, T, T+1)
+        T = V.shape[1]
+        return V[:, np.arange(T), np.arange(T) + 1]
+
+    def lockstep_segment_tables(self, batch):
+        """``(B, n, T)`` batched frame scores (see `_segment_table`); reuses
+        the cached lockstep interval tables."""
+        (Vflat,), _ = self.lockstep_fns(batch)
+        B = batch.data.shape[0]
+        T = batch.data.shape[1]
+        V = np.asarray(Vflat).reshape(B, self.nStates, T, T + 1)
+        return V[:, :, np.arange(T), np.arange(T) + 1]
 
     def clear_memo(self):
         self._table_cache = None

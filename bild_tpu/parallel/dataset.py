@@ -41,6 +41,8 @@ class DatasetResults:
     profiles_by_k: List[np.ndarray]     # B entries, each (K+1, T_i)
     dE: float = 0.0
     marginals: Optional[List[np.ndarray]] = None  # B entries, (K+1, n, T_i)
+    optimized: Optional[List[np.ndarray]] = None  # B entries, (T_i,)
+    eliminated: Optional[np.ndarray] = None       # (B,) postproc flags
 
     def best_k(self, dE=None) -> np.ndarray:
         dE = self.dE if dE is None else dE
@@ -93,6 +95,7 @@ def sample_dataset(model, trajs: Sequence,
                    key=None,
                    checkpoint_dir=None,
                    show_progress=False,
+                   optimize_boundaries=False,
                    **sample_kw) -> DatasetResults:
     """
     Full-dataset lockstep inference over ragged trajectories.
@@ -113,6 +116,11 @@ def sample_dataset(model, trajs: Sequence,
         changed configuration recomputes rather than mixing results.
     show_progress : bool
         tqdm over chunks.
+    optimize_boundaries : bool
+        run the batched greedy boundary hill climb
+        (`postproc.optimize_boundary_batch`) on each chunk's best profiles
+        at the given ``dE``; results land in ``DatasetResults.optimized``
+        with per-trajectory ``eliminated`` flags.
 
     Returns `DatasetResults` in the original trajectory order.
     """
@@ -123,6 +131,7 @@ def sample_dataset(model, trajs: Sequence,
 
     config_str = repr(("v1", k_max, steps_per_k, N, scout_steps, refine_top,
                        informed_init, marginals, chunk_size,
+                       bool(optimize_boundaries), float(dE),
                        np.asarray(jax.random.key_data(key)).tolist()))
 
     B_total = len(trajs)
@@ -131,6 +140,8 @@ def sample_dataset(model, trajs: Sequence,
     evidence_se = np.full((B_total, K1), np.nan)
     profiles_by_k: List[Optional[np.ndarray]] = [None] * B_total
     margs_by_traj: List[Optional[np.ndarray]] = [None] * B_total
+    opt_by_traj: List[Optional[np.ndarray]] = [None] * B_total
+    elim_all = np.zeros(B_total, dtype=bool)
 
     # stable chunk schedule: bucket, then split each bucket
     work = []
@@ -163,6 +174,8 @@ def sample_dataset(model, trajs: Sequence,
             ev, se = loaded["evidence"], loaded["evidence_se"]
             maps = loaded["map_profiles"]
             marg = loaded["marginals"] if marginals else None
+            opt = loaded["optimized"] if optimize_boundaries else None
+            elim = loaded["eliminated"] if optimize_boundaries else None
         else:
             res = sample_batch(
                 model, sub, k_max=k_max, steps_per_k=steps_per_k, N=N,
@@ -171,11 +184,19 @@ def sample_dataset(model, trajs: Sequence,
                 mesh=mesh, key=jax.random.fold_in(key, c), **sample_kw)
             ev, se, maps = res.evidence, res.evidence_se, res.map_profiles
             marg = res.marginals
+            opt = elim = None
+            if optimize_boundaries:
+                from ..postproc import optimize_boundary_batch
+                opt, elim = optimize_boundary_batch(res.best_profile(dE),
+                                                    sub, model)
             if ck_path is not None:
                 tmp = ck_path + ".tmp.npz"
                 np.savez(tmp, evidence=ev, evidence_se=se,
                          map_profiles=maps,
-                         marginals=(marg if marginals else np.zeros(0)))
+                         marginals=(marg if marginals else np.zeros(0)),
+                         optimized=(opt if opt is not None else np.zeros(0)),
+                         eliminated=(elim if elim is not None
+                                     else np.zeros(0)))
                 os.replace(tmp, ck_path)
 
         k_here = ev.shape[1]
@@ -195,6 +216,9 @@ def sample_dataset(model, trajs: Sequence,
                 m = np.full((K1, n, Ti), -np.inf)
                 m[:k_here] = marg[:, row, :, :Ti]
                 margs_by_traj[i] = m
+            if optimize_boundaries:
+                opt_by_traj[i] = np.asarray(opt[row, :Ti], dtype=int)
+                elim_all[i] = bool(elim[row])
 
     return DatasetResults(
         k=np.arange(K1),
@@ -203,4 +227,6 @@ def sample_dataset(model, trajs: Sequence,
         profiles_by_k=profiles_by_k,
         dE=dE,
         marginals=margs_by_traj if marginals else None,
+        optimized=opt_by_traj if optimize_boundaries else None,
+        eliminated=elim_all if optimize_boundaries else None,
     )

@@ -199,3 +199,21 @@ class TestFixedkSampler:
             sampler.step()
         logev, dlogev, KL = sampler.evidences[-1]
         assert abs(logev - logev_exact) < max(5 * dlogev, 0.1)
+
+    def test_steps_batched_matches_stepwise(self):
+        # steps(n) must sample identically to n sequential step() calls
+        # (same PRNG split sequence inside the fused loop)
+        a = FixedkSampler(self.traj, self.model, k=2, max_fcomplete=0,
+                          N=30, max_fev=600, key=jax.random.key(11))
+        b = FixedkSampler(self.traj, self.model, k=2, max_fcomplete=0,
+                          N=30, max_fev=600, key=jax.random.key(11))
+        for _ in range(5):
+            assert a.step()
+        assert b.steps(5) == 5
+        np.testing.assert_allclose(np.asarray(a.evidences),
+                                   np.asarray(b.evidences), rtol=1e-6)
+        assert a.n_steps_host == b.n_steps_host == 5
+        # budget cap: steps() never runs past max_fev exhaustion
+        ran = b.steps(100)
+        assert b.exhausted
+        assert (b.n_steps_host + 1) * b.N >= b.max_fev

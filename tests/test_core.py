@@ -102,6 +102,25 @@ class TestPostproc:
         out = bild.postproc.optimize_boundary(flat, self.traj, self.model, max_iteration=1)
         np.testing.assert_array_equal(out[:], flat[:])
 
+    def test_optimize_boundary_batch_matches_single(self):
+        from bild_tpu.parallel import stack_trajectories
+
+        profiles = np.array([
+            [0, 1, 1, 1, 0, 0, 0, 1],   # converges
+            [0, 1, 0, 1, 0, 0, 0, 1],   # single API raises elimination
+            [1, 1, 1, 1, 1, 1, 1, 1],   # flat: no boundaries
+        ])
+        batch = stack_trajectories([self.traj] * 3)
+        out, elim = bild.postproc.optimize_boundary_batch(
+            profiles, batch, self.model)
+        single = bild.postproc.optimize_boundary(
+            bild.Loopingprofile(profiles[0]), self.traj, self.model)
+        np.testing.assert_array_equal(out[0], single[:])
+        assert not elim[0]
+        assert elim[1]                 # flagged instead of raising
+        np.testing.assert_array_equal(out[2], profiles[2])
+        assert not elim[2]
+
 
 class TestStats:
     def test_KM_survival(self):

@@ -85,3 +85,16 @@ def test_sample_dataset_scout_schedule():
                          bucket_edges=(8, 16), scout_steps=3, refine_top=2,
                          informed_init=False, key=jax.random.key(4))
     assert np.all(res.best_k()[true_ks == 0] == 0)
+
+
+def test_sample_dataset_optimize_boundaries():
+    model, trajs, true_ks, lengths = _ragged_set()
+    res = sample_dataset(model, trajs, k_max=2, steps_per_k=6, N=20,
+                         bucket_edges=(8, 16), informed_init=False,
+                         optimize_boundaries=True, key=jax.random.key(5))
+    assert res.optimized is not None and res.eliminated is not None
+    for p, T in zip(res.optimized, lengths):
+        assert p.shape == (T,)
+    # optimized profiles keep the boundary count of the MAP profiles
+    for p, bp in zip(res.optimized, res.best_profile()):
+        assert np.sum(p[1:] != p[:-1]) == np.sum(bp[1:] != bp[:-1])

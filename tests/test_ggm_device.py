@@ -41,6 +41,34 @@ class TestStationaryFastPath:
         np.testing.assert_allclose(Vmix, Vref, atol=1e-9)
 
 
+class TestSegmentHooks:
+    def test_initial_loopingprofile_recovers_clear_signal(self, rng):
+        model = GGM([
+            [(GGM.MSD_function_twoLocusRouse(G=1.0, J=5.0), 0.1, 0)],
+            [(GGM.MSD_function_twoLocusRouse(G=0.05, J=1.0), 0.1, 0)],
+        ])
+        true = np.zeros(40, dtype=int)
+        true[15:30] = 1
+        traj = model.trajectory_from_loopingprofile(true, rng=rng)
+        guess = np.asarray(model.initial_loopingprofile(traj)[:])
+        assert np.mean(guess == true) > 0.8
+
+    def test_informed_init_paths(self, rng):
+        from bild_tpu.parallel import sample_batch, stack_trajectories
+        model = _mixed_model()
+        true = np.zeros(12, dtype=int)
+        true[6:] = 1
+        trajs = [model.trajectory_from_loopingprofile(true, rng=rng)
+                 for _ in range(2)]
+        # adaptive informed guess available
+        assert model.segment_guess(trajs[0], 1) is not None
+        # lockstep informed init end-to-end
+        batch = stack_trajectories(trajs)
+        res = sample_batch(model, batch, k_max=2, steps_per_k=5, N=16,
+                           informed_init=True, key=jax.random.key(0))
+        assert res.evidence.shape == (2, 3)
+
+
 class TestIntervalTableParity:
     def test_mixed_orders_missing_frames(self, rng):
         model = _mixed_model()
