@@ -14,12 +14,26 @@ import scipy.stats
 import jax
 import jax.numpy as jnp
 
-from ..config import fdtype, MATMUL_PRECISION
+from ..config import fdtype, rouse_kernel, MATMUL_PRECISION
 from ..physics.rouse import RouseModel
 from ..profiles import Loopingprofile
 from ..trajectory import Trajectory
 from ..ops.kalman import msrouse_logL_batch
+from ..ops.kalman_pallas import msrouse_logL_pallas
 from ..ops.kalman_sym import msrouse_logL_pallas_sym
+
+
+def _select_kernel(dtype):
+    """TPU f32 kernel per `bild_tpu.config.rouse_kernel()`; the XLA scan
+    everywhere else (CPU, x64)."""
+    if dtype != jnp.float32 or jax.default_backend() in ("cpu",):
+        return msrouse_logL_batch
+    name = rouse_kernel()
+    if name == "sym":
+        return msrouse_logL_pallas_sym
+    if name == "dense":
+        return msrouse_logL_pallas
+    return msrouse_logL_batch
 from ..ops.assoc_kalman import msrouse_logL_assoc
 from .base import MultiStateModel
 
@@ -141,9 +155,8 @@ class MultiStateRouse(MultiStateModel):
         profiles = jnp.asarray(profiles, dtype=jnp.int32)
         args = (self.Bs, self.Gs, self.Sigs, self.M0s, self.C0s,
                 self.w, s2, Cind, profiles, traj.data, traj.valid)
-        if self.Bs.dtype == jnp.float32 and jax.default_backend() not in ("cpu",):
-            return msrouse_logL_pallas_sym(*args)
-        return msrouse_logL_batch(*args)
+        kern = _select_kernel(self.Bs.dtype)
+        return kern(*args)
 
     def logL_batch_assoc(self, profiles, traj, mesh=None, time_axis="time"):
         """
@@ -193,7 +206,10 @@ class MultiStateRouse(MultiStateModel):
         """
         if self.localization_error is None:
             raise ValueError("lockstep batch mode needs model.localization_error")
-        if not hasattr(self, "_lockstep_logL_fn"):
+        if not hasattr(self, "_lockstep_fns_cache"):
+            self._lockstep_fns_cache = {}
+        kname = rouse_kernel()
+        if kname not in self._lockstep_fns_cache:
             unique, Cind = np.unique(self.localization_error, return_inverse=True)
             s2 = jnp.asarray(unique**2, dtype=fdtype())
             Cind_np = Cind.astype(np.int32)
@@ -201,29 +217,28 @@ class MultiStateRouse(MultiStateModel):
             Bs, Gs, Sigs, M0s, C0s, w = (self.Bs, self.Gs, self.Sigs,
                                          self.M0s, self.C0s, self.w)
 
+            kern = _select_kernel(Bs.dtype)
+
             def logL_fn(profiles, per_traj):
                 ydata, valid = per_traj
                 # Pallas when the proposal count fills whole 128-lane tiles
                 # (e.g. sample_batch's default N=128); XLA scan otherwise
-                if (profiles.shape[0] % 128 == 0
-                        and Bs.dtype == jnp.float32
-                        and jax.default_backend() not in ("cpu",)):
-                    return msrouse_logL_pallas_sym(
-                        Bs, Gs, Sigs, M0s, C0s, w, s2,
-                        Cind_np, profiles, ydata, valid)
+                if kern is not msrouse_logL_batch and profiles.shape[0] % 128 == 0:
+                    return kern(Bs, Gs, Sigs, M0s, C0s, w, s2,
+                                Cind_np, profiles, ydata, valid)
                 return msrouse_logL_batch(Bs, Gs, Sigs, M0s, C0s, w, s2,
                                           Cind_dev, profiles, ydata, valid)
 
-            self._lockstep_logL_fn = logL_fn
+            self._lockstep_fns_cache[kname] = logL_fn
 
-        return (batch.data, batch.valid), self._lockstep_logL_fn
+        return (batch.data, batch.valid), self._lockstep_fns_cache[kname]
 
     def lockstep_fns_single(self, traj):
         """Fused-step hooks for one trajectory; unlike `lockstep_fns`, the
         localization error may come from the trajectory itself. The returned
         ``logL_fn`` is cached per noise configuration so downstream jit
         caches (the fused AMIS step) stay warm across sampler instances."""
-        err_key = tuple(self._get_noise(traj).tolist())
+        err_key = (tuple(self._get_noise(traj).tolist()), rouse_kernel())
         if not hasattr(self, "_single_fns"):
             self._single_fns = {}
         if err_key not in self._single_fns:
@@ -234,13 +249,10 @@ class MultiStateRouse(MultiStateModel):
             s2, Cind = self._noise_arrays(traj)
             Bs, Gs, Sigs, M0s, C0s, w = (self.Bs, self.Gs, self.Sigs,
                                          self.M0s, self.C0s, self.w)
-            use_pallas = (Bs.dtype == jnp.float32
-                          and jax.default_backend() not in ("cpu",))
+            fn = _select_kernel(Bs.dtype)
 
             def logL_fn(profiles, per_traj):
                 ydata, valid = per_traj
-                fn = (msrouse_logL_pallas_sym if use_pallas
-                      else msrouse_logL_batch)
                 return fn(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
                           profiles, ydata, valid)
 

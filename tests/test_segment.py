@@ -57,13 +57,17 @@ def test_segment_guess_models(rng):
     np.testing.assert_allclose(np.sum(fracs), 1.0)
     assert np.all(theta[1:] != theta[:-1])
 
-    # GGM has no frame-factorized table
+    # GGM derives frame scores from its interval-table diagonal
     from bild_tpu.models import GenericGaussianModel
     ggm = GenericGaussianModel([
         [(GenericGaussianModel.MSD_function_powerlaw(), 0.0, 1)],
         [(GenericGaussianModel.MSD_function_powerlaw(G=2.0), 0.0, 1)],
     ])
-    assert ggm.segment_guess(traj, 1) is None
+    g = ggm.segment_guess(traj, 1)
+    assert g is not None
+    fracs, theta = g
+    assert len(fracs) == 2 and len(theta) == 2
+    np.testing.assert_allclose(np.sum(fracs), 1.0)
 
 
 def test_informed_init_improves_long_T():
