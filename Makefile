@@ -2,13 +2,18 @@
 
 PY ?= python
 
-.PHONY: tests bench native clean docs
+.PHONY: tests bench bench-e2e native clean docs
 
 tests:
 	$(PY) -m pytest tests/ -q
 
 bench:
 	$(PY) bench.py
+
+# BASELINE.md configs 2-6 (pass CONFIGS=5 for the 10k-trajectory run)
+CONFIGS ?= 2,3,4,6
+bench-e2e:
+	$(PY) bench_e2e.py --configs $(CONFIGS) --out PERF.json
 
 # build the native loader explicitly (otherwise built on first use)
 native:
