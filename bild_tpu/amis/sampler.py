@@ -465,6 +465,25 @@ class FixedkSampler:
                                     jnp.asarray(theta, dtype=jnp.int32), self.T))
         return Loopingprofile(arr)
 
+    def log_proposal(self, parameters, ss, thetas):
+        """Joint proposal density Dirichlet(ss) x CFC(thetas) under the
+        given ``(a, logp)`` parameters; ``(N,)`` (reference
+        ``bild/amis.py:697-715``, with this implementation's
+        infinity-dominance rule — see `_log_proposal`)."""
+        a, logp = parameters
+        ss = np.asarray(ss)
+        if ss.shape[-1] == self.k + 1:        # exact-size (reference shape)
+            active = None
+        elif ss.shape[-1] == self.K1:          # padded-k arrays
+            active = self.active
+        else:
+            raise ValueError(f"ss has {ss.shape[-1]} slots; expected "
+                             f"{self.k + 1} (exact) or {self.K1} (padded)")
+        return np.asarray(_log_proposal(
+            jnp.asarray(a, dtype=fdtype()), jnp.asarray(logp, dtype=fdtype()),
+            jnp.asarray(ss, dtype=fdtype()), jnp.asarray(thetas, jnp.int32),
+            self._transitions, active=active))
+
     def logL(self, ss, thetas):
         """Batched likelihood of (s, theta) parameter arrays; ``(N,)``."""
         profiles = jax.vmap(lambda s, th: st2profile(s, th, self.T))(

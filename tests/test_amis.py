@@ -217,3 +217,19 @@ class TestFixedkSampler:
         ran = b.steps(100)
         assert b.exhausted
         assert (b.n_steps_host + 1) * b.N >= b.max_fev
+
+    def test_log_proposal_api(self):
+        # reference-API surface (bild/amis.py:697-715): joint density of
+        # (ss, thetas) under given (a, logp) parameters
+        from scipy.stats import dirichlet as sp_dirichlet
+        s = FixedkSampler(self.traj, self.model, k=2, max_fcomplete=0,
+                          N=20, max_fev=200, key=jax.random.key(0))
+        a = np.array([2.0, 3.0, 1.5])
+        logp = np.log(np.full((2, 3), 0.5))
+        rngl = np.random.default_rng(0)
+        ss = rngl.dirichlet(a, size=4)
+        thetas = np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0], [1, 0, 1]])
+        got = s.log_proposal((a, logp), ss, thetas)
+        want_dir = np.array([sp_dirichlet.logpdf(x, a) for x in ss])
+        want_cfc = np.asarray(s.cfc.logpmf(logp, thetas))
+        np.testing.assert_allclose(got, want_dir + want_cfc, rtol=1e-5)
