@@ -268,8 +268,20 @@ def _informed_proposals_all_k(model, batch, K1, n, T):
     Vectorized informed-init: one batched DP sweep for every trajectory and
     every k, then batched (s, theta) -> proposal-parameter conversion.
     Returns ``(a_inf (K1, B, K1), logp_inf (K1, B, n, K1), use (K1, B))`` or
-    ``None`` if the model has no frame-factorized score tables.
+    ``None`` if the model has no frame-factorized score tables. Cached on
+    the model per (batch identity, K1): the segmentation is deterministic,
+    and repeated `sample_batch` calls on the same batch otherwise redo
+    ~0.3 s of host DP per call.
     """
+    cache = getattr(model, "_informed_init_cache", None)
+    if cache is not None and cache[0] is batch.data and cache[1] == K1:
+        return cache[2]
+    out = _informed_proposals_all_k_impl(model, batch, K1, n, T)
+    model._informed_init_cache = (batch.data, K1, out)
+    return out
+
+
+def _informed_proposals_all_k_impl(model, batch, K1, n, T):
     seg_tables = model.lockstep_segment_tables(batch)
     if seg_tables is None:
         return None
