@@ -2,10 +2,20 @@
 
 PY ?= python
 
-.PHONY: tests bench bench-e2e native clean docs
+.PHONY: tests tests-all tests-cov bench bench-e2e native clean docs
 
+# fast lane (default): everything not marked slow; target < 3 min
 tests:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+# the whole pyramid, including slow integration/Pallas-interpret tests
+tests-all:
 	$(PY) -m pytest tests/ -q
+
+# full suite with line coverage (tools/simplecov.py; the `coverage`
+# package is not installed in this image) -> COVERAGE.txt
+tests-cov:
+	COV=1 $(PY) -m pytest tests/ -q
 
 bench:
 	$(PY) bench.py
@@ -20,11 +30,13 @@ native:
 	g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread \
 	    -o bild_tpu/native/_loader.so bild_tpu/native/loader.cpp
 
+# sphinx when available; otherwise the self-contained autodoc builder
+# (tools/docgen.py), which reads the same docs/*.rst sources and fails on
+# import errors / missing members exactly like sphinx-autodoc would
 docs:
 	@$(PY) -c "import sphinx" 2>/dev/null \
 	    && $(PY) -m sphinx -b html docs/ docs/_build/html \
-	    || echo "sphinx not installed in this environment; docs/ sources are \
-ready (pip install sphinx && make docs)"
+	    || $(PY) tools/docgen.py --src docs --out docs/_build/html
 
 clean:
 	rm -rf bild_tpu/native/_loader.so **/__pycache__ .pytest_cache docs/_build

@@ -369,8 +369,9 @@ class CFC:
         pure in (transitions, k)."""
         cache_key = (self.transitions.tobytes(), self.transitions.shape, k,
                      self.MOM_maxiter, self.MOM_precision)
-        hit = _LOGP_UNIFORM_CACHE.get(cache_key)
+        hit = _LOGP_UNIFORM_CACHE.pop(cache_key, None)
         if hit is not None:
+            _LOGP_UNIFORM_CACHE[cache_key] = hit    # refresh recency
             return hit
         lm = np.asarray(self.uniform_marginals(k))
         if k == 0:

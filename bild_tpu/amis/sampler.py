@@ -297,7 +297,10 @@ def _make_fused_steps(logL_fn, N: int, T: int):
     """
     cache_key = (logL_fn, N, T)
     if cache_key in _FUSED_STEPS:
-        return _FUSED_STEPS[cache_key]
+        # refresh recency: dict insertion order is the eviction order
+        hit = _FUSED_STEPS.pop(cache_key)
+        _FUSED_STEPS[cache_key] = hit
+        return hit
     while len(_FUSED_STEPS) >= _FUSED_STEPS_MAX:
         _FUSED_STEPS.pop(next(iter(_FUSED_STEPS)))
 
@@ -305,9 +308,10 @@ def _make_fused_steps(logL_fn, N: int, T: int):
     def steps(state, key, transitions, logprior, cb, pb, active, per_traj,
               a_inf, logp_inf, use_inf, n_run):
         start = state.n_steps
+        S = state.logLs.shape[0]
 
         def body(_, carry):
-            state, key = carry
+            state, key, mom_trace = carry
             key, sub = jax.random.split(key)
             ss, th, profiles = amis_propose(state, sub, transitions, N=N,
                                             T=T, active=active)
@@ -316,6 +320,10 @@ def _make_fused_steps(logL_fn, N: int, T: int):
                                    logLs.astype(state.logLs.dtype),
                                    transitions, logprior, cb, pb,
                                    active=active)
+            # cumulative convergence AFTER this step: lets the host drop
+            # evidences from the diverged step onward (the reference raises
+            # inside the failing step, before its evidence is recorded)
+            mom_trace = mom_trace.at[state.n_steps - 1].set(state.mom_ok)
             # second mixture component <- informed proposal, after step 1
             seed = use_inf & (state.n_steps == 1)
             state = dataclasses.replace(
@@ -324,13 +332,17 @@ def _make_fused_steps(logL_fn, N: int, T: int):
                     jnp.where(seed, a_inf, state.a_params[1])),
                 logps=state.logps.at[1].set(
                     jnp.where(seed, logp_inf, state.logps[1])))
-            return state, key
+            return state, key, mom_trace
 
-        state, key = jax.lax.fori_loop(0, n_run, body, (state, key))
+        mom_trace0 = jnp.ones((S,), dtype=bool)
+        state, key, mom_trace = jax.lax.fori_loop(
+            0, n_run, body, (state, key, mom_trace0))
         ev = jax.lax.dynamic_slice(
             state.evidences, (start, jnp.zeros((), start.dtype)), (n_run, 3))
+        mom_rows = jax.lax.dynamic_slice(mom_trace, (start,), (n_run,))
         packed = jnp.concatenate([
             ev.reshape(-1),
+            mom_rows.astype(ev.dtype),
             jnp.stack([state.mom_ok.astype(ev.dtype),
                        state.n_steps.astype(ev.dtype)])])
         return state, key, packed
@@ -578,8 +590,13 @@ class FixedkSampler:
                 n_run=n_run)
             vals = np.asarray(packed)            # ONE fetch for everything
             ev_rows = vals[: 3 * n_run].reshape(n_run, 3)
+            mom_rows = vals[3 * n_run: 4 * n_run] != 0
             mom_ok = bool(vals[-2] != 0)
             n_steps = int(vals[-1])
+            if not mom_ok:
+                # keep only evidences from steps before the divergence (the
+                # reference's failing step raises before logging evidence)
+                ev_rows = ev_rows[: int(np.argmin(mom_rows))]
         else:
             # fallback for models without a traceable likelihood: stepwise
             ev_rows = np.zeros((n_run, 3))

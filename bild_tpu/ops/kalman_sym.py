@@ -110,8 +110,10 @@ _SYM_OPS_CACHE_MAX = 16
 
 def sym_operators(Bs, Sigs, C0s, w, dtype):
     key = tuple(np.asarray(x).tobytes() for x in (Bs, Sigs, C0s, w))
-    hit = _SYM_OPS_CACHE.get(key)
-    if hit is None:
+    hit = _SYM_OPS_CACHE.pop(key, None)
+    if hit is not None:
+        _SYM_OPS_CACHE[key] = hit        # refresh recency
+    else:
         while len(_SYM_OPS_CACHE) >= _SYM_OPS_CACHE_MAX:
             _SYM_OPS_CACHE.pop(next(iter(_SYM_OPS_CACHE)))
         hit = _build_sym_operators(Bs, Sigs, C0s, w)
@@ -297,6 +299,22 @@ def _pallas_call_sym(Pall, sig_pack, c0_pack, Gw, Ea, Eb,
     return jnp.where(in_range, out[0, :P_in], jnp.nan)
 
 
+def _sym_vmem_bytes(n, N, d, q, PPp, itemsize=4):
+    """Rough VMEM footprint of the sym kernel: the packed operator
+    dominates (n * PPp^2); plus per-q scratch and the P_TILE-wide buffers."""
+    operands = (n * PPp * PPp + 2 * n * PPp + N * PPp + 2 * PPp * N
+                + n * N * (N + 2 * d))
+    scratch = (q * PPp + N * d + 1) * P_TILE
+    return (operands + scratch) * itemsize
+
+
+# Fall back to the dense kernel above this packed-operator footprint: the
+# ~16 MB/core VMEM budget must also hold Pallas pipeline buffers. The dense
+# kernel's VMEM scales as q*N^2*P_TILE (scratch) + n*N^2 (operands), far
+# below this crossover for any N where sym overflows (N >= ~44 at n=2).
+_SYM_VMEM_LIMIT = 12 * 2**20
+
+
 def msrouse_logL_pallas_sym(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
                             profiles, ydata, valid, interpret=False):
     """
@@ -304,7 +322,21 @@ def msrouse_logL_pallas_sym(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
     symmetric-packed Pallas kernel. Requires CONCRETE (non-traced) model
     arrays — the packed operators are precomputed on host (f64) and cached;
     model arrays are module-level constants in every caller.
+
+    Large Rouse chains (the packed operator is ``n * (N(N+1)/2)^2`` floats;
+    ~13 MB at n=2, N=50) would exhaust VMEM, so those shapes automatically
+    fall back to the dense Pallas kernel (`kalman_pallas`), which they fit.
     """
+    n, N = np.asarray(Bs).shape[:2]
+    d = np.asarray(Gs).shape[2]
+    q = len(np.asarray(s2))
+    PP = N * (N + 1) // 2
+    PPp = -(-PP // 8) * 8
+    if _sym_vmem_bytes(n, N, d, q, PPp) > _SYM_VMEM_LIMIT:
+        from .kalman_pallas import msrouse_logL_pallas
+        return msrouse_logL_pallas(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
+                                   profiles, ydata, valid,
+                                   interpret=interpret)
     Cind_static = tuple(int(c) for c in np.asarray(Cind))
     (Pall, sig_pack, c0_pack, Gw, Ea, Eb), PPp = sym_operators(
         Bs, Sigs, C0s, w, jnp.asarray(Bs).dtype)

@@ -137,6 +137,11 @@ class BatchResults:
     map_profiles: np.ndarray   # (K+1, B, T)
     dE: float = 0.0
     marginals: Optional[np.ndarray] = None  # (K+1, B, n, T) log-posteriors
+    # (B, K+1) — CFC method-of-marginals fixed point converged at every AMIS
+    # step of that (trajectory, k) run. The adaptive mode raises on
+    # non-convergence (FixedkSampler.step); lockstep cannot, so the flag is
+    # surfaced here instead of being silently dropped.
+    mom_ok: Optional[np.ndarray] = None
 
     def best_k(self, dE=None) -> np.ndarray:
         """(B,) smallest k within dE of each trajectory's max evidence."""
@@ -182,7 +187,7 @@ _LOCKSTEP_RUNNERS_MAX = 32
 
 
 def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
-                         variant="per_k"):
+                         variant="per_k", mom_maxiter=1000):
     """
     Compiled lockstep program. Variants (same per-(trajectory, k) math):
 
@@ -193,9 +198,13 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
     - ``per_traj_k``: vmap over trajectories with a per-trajectory k
       (active/logprior axis 0) — the refine phase of the scouted schedule.
     """
-    cache_key = (logL_fn, T, n, N, S, steps, K1, marginals, variant)
+    cache_key = (logL_fn, T, n, N, S, steps, K1, marginals, variant,
+                 mom_maxiter)
     if cache_key in _LOCKSTEP_RUNNERS:
-        return _LOCKSTEP_RUNNERS[cache_key]
+        # refresh recency: dict insertion order is the eviction order
+        hit = _LOCKSTEP_RUNNERS.pop(cache_key)
+        _LOCKSTEP_RUNNERS[cache_key] = hit
+        return hit
     while len(_LOCKSTEP_RUNNERS) >= _LOCKSTEP_RUNNERS_MAX:
         _LOCKSTEP_RUNNERS.pop(next(iter(_LOCKSTEP_RUNNERS)))
 
@@ -211,7 +220,7 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
             logLs = logL_fn(profiles, per_traj)
             state, _ = amis_update(state, ss, th, logLs, transitions,
                                    logprior, conc_brake_N, pol_brake_N,
-                                   active=active)
+                                   maxiter=mom_maxiter, active=active)
             # after the first (uniform) step, inject the informed proposal as
             # the second mixture component (see FixedkSampler.step)
             seed = use_informed & (i == 0)
@@ -241,7 +250,7 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
                 T=T, nStates=n, active=active)               # (n, T)
         else:
             logpost = jnp.zeros((0, 0), dtype=ev.dtype)
-        return ev, map_prof, logpost
+        return ev, map_prof, logpost, state.mom_ok
 
     # a0/logp0 are per-trajectory (axis 0): the informed-init path seeds each
     # trajectory's proposal at its own DP segmentation
@@ -263,7 +272,7 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
     return runner
 
 
-def _informed_proposals_all_k(model, batch, K1, n, T):
+def _informed_proposals_all_k(model, batch, K1, n, T, cache_token=None):
     """
     Vectorized informed-init: one batched DP sweep for every trajectory and
     every k, then batched (s, theta) -> proposal-parameter conversion.
@@ -272,12 +281,21 @@ def _informed_proposals_all_k(model, batch, K1, n, T):
     the model per (batch identity, K1): the segmentation is deterministic,
     and repeated `sample_batch` calls on the same batch otherwise redo
     ~0.3 s of host DP per call.
+
+    ``cache_token`` is the identity object for the cache check — callers
+    that slice the batch (the tail-trim in `sample_batch`) pass the
+    ORIGINAL data array plus the effective length, since the sliced array
+    is a fresh object on every call and would never hit.
     """
+    token = (batch.data,) if cache_token is None else tuple(cache_token)
     cache = getattr(model, "_informed_init_cache", None)
-    if cache is not None and cache[0] is batch.data and cache[1] == K1:
-        return cache[2]
+    if (cache is not None and cache[0] is token[0] and cache[1] == token[1:]
+            and cache[2] == K1):
+        return cache[3]
     out = _informed_proposals_all_k_impl(model, batch, K1, n, T)
-    model._informed_init_cache = (batch.data, K1, out)
+    # storing the token array in the cache keeps it alive, so the `is`
+    # identity check cannot alias a recycled id()
+    model._informed_init_cache = (token[0], token[1:], K1, out)
     return out
 
 
@@ -338,7 +356,8 @@ def sample_batch(model, batch: TrajectoryBatch,
                  informed_init=False,
                  checkpoint=None,
                  scout_steps=None,
-                 refine_top=3) -> BatchResults:
+                 refine_top=3,
+                 mom_maxiter=1000) -> BatchResults:
     """
     Lockstep inference over a trajectory batch.
 
@@ -377,6 +396,11 @@ def sample_batch(model, batch: TrajectoryBatch,
         combinable with ``checkpoint``.
     refine_top : int
         how many k values each trajectory refines (only with scout_steps).
+    mom_maxiter : int
+        iteration cap of the CFC method-of-marginals fixed point (reference
+        ``CFC.MOM_maxiter``). Non-convergence cannot raise inside the jitted
+        lockstep program; it is reported per (trajectory, k) in
+        ``BatchResults.mom_ok`` instead.
 
     Notes
     -----
@@ -390,6 +414,14 @@ def sample_batch(model, batch: TrajectoryBatch,
     if checkpoint is not None and scout_steps is not None:
         raise ValueError("scout_steps (two-phase schedule) cannot be "
                          "combined with checkpoint (per-k resume)")
+    if scout_steps is not None and not (1 <= scout_steps <= steps_per_k):
+        # scout_steps=0 would build a 0-step runner whose final-evidence read
+        # state.evidences[-1] is an out-of-bounds gather — silently clamped
+        # under jit, i.e. garbage ranking rather than an error
+        raise ValueError(f"scout_steps must be in [1, steps_per_k="
+                         f"{steps_per_k}], got {scout_steps}")
+    if steps_per_k < 1:
+        raise ValueError(f"steps_per_k must be >= 1, got {steps_per_k}")
 
     B_real = batch.B
     # trim the all-invalid tail of a padded bucket: frames past every
@@ -397,12 +429,14 @@ def sample_batch(model, batch: TrajectoryBatch,
     # nothing (a T=70 trajectory in a 128-bucket would waste ~45%). Results
     # are edge-padded back to the input T below.
     T_in = batch.T
+    informed_cache_token = (batch.data, T_in)
     if batch.lengths is not None and batch.B > 0:
         T_eff = max(int(np.max(np.asarray(batch.lengths))), 1)
         if T_eff < T_in:
             batch = TrajectoryBatch(data=batch.data[:, :T_eff],
                                     valid=batch.valid[:, :T_eff],
                                     lengths=batch.lengths)
+            informed_cache_token = (informed_cache_token[0], T_eff)
     if mesh is not None:
         batch = pad_batch_rows(batch, -batch.B % mesh.shape["data"])
 
@@ -421,20 +455,24 @@ def sample_batch(model, batch: TrajectoryBatch,
     cb = jnp.asarray(N * concentration_brake, dtype=dtype)
     pb = jnp.asarray(N * polarization_brake, dtype=dtype)
 
-    informed = _informed_proposals_all_k(model, batch, K1, n, T) \
+    informed = _informed_proposals_all_k(
+        model, batch, K1, n, T,
+        cache_token=informed_cache_token + (batch.B,)) \
         if informed_init else None
 
     def skipped_k():
         return (np.full((B, 3), [-np.inf, 1e-10, np.inf]),
                 np.zeros((B, T), dtype=int),
-                np.full((B, n, T), -np.inf))
+                np.full((B, n, T), -np.inf),
+                np.ones(B, dtype=bool))
 
     if checkpoint is None:
         # one dispatch for ALL k: per-k host prep and device sync gaps would
         # otherwise serialize steps_per_k * (k_max+1) small programs
         s1 = steps_per_k if scout_steps is None else scout_steps
         runner = _get_lockstep_runner(logL_fn, T, n, N, s1, s1, K1,
-                                      marginals, variant="fused")
+                                      marginals, variant="fused",
+                                      mom_maxiter=mom_maxiter)
         ks = [k for k in range(k_max + 1) if k < T]
         params = [_per_k_params(cfc, k, K1, B, n, informed) for k in ks]
         stacks_np = [np.stack([p[i] for p in params]) for i in range(7)]
@@ -445,10 +483,11 @@ def sample_batch(model, batch: TrajectoryBatch,
             key, sub = jax.random.split(key)
             keys.append(jax.random.split(sub, B))
         keys = jnp.stack(keys)
-        ev_all, map_all, marg_all = runner(per_traj, keys, transitions,
-                                           *stacked[:6], stacked[6], cb, pb)
+        ev_all, map_all, marg_all, mom_all = runner(
+            per_traj, keys, transitions, *stacked[:6], stacked[6], cb, pb)
         # np.array (not asarray): jax arrays view as read-only, refine writes
         ev_all, map_all = np.array(ev_all), np.array(map_all)
+        mom_all = np.array(mom_all)
         if marginals:
             marg_all = np.array(marg_all)
 
@@ -488,36 +527,43 @@ def sample_batch(model, batch: TrajectoryBatch,
 
             runner_r = _get_lockstep_runner(logL_fn, T, n, N, steps_per_k,
                                             steps_per_k, K1, marginals,
-                                            variant="per_traj_k")
-            ev_r, map_r, marg_r = runner_r(per_traj_R, keys_R, transitions,
-                                           *sel_dev, cb, pb)
+                                            variant="per_traj_k",
+                                            mom_maxiter=mom_maxiter)
+            ev_r, map_r, marg_r, mom_r = runner_r(per_traj_R, keys_R,
+                                                  transitions, *sel_dev,
+                                                  cb, pb)
             ev_r = np.asarray(ev_r).reshape(R, B, 3)
             map_r = np.asarray(map_r).reshape(R, B, T)
+            mom_r = np.asarray(mom_r).reshape(R, B)
             if marginals:
                 marg_r = np.asarray(marg_r).reshape(R, B, n, T)
             for r in range(R):
                 ev_all[kb[r], np.arange(B)] = ev_r[r]
                 map_all[kb[r], np.arange(B)] = map_r[r]
+                mom_all[kb[r], np.arange(B)] = mom_r[r]
                 if marginals:
                     marg_all[kb[r], np.arange(B)] = marg_r[r]
-        evs, maps, margs = [], [], []
+        evs, maps, margs, moms = [], [], [], []
         for k in range(k_max + 1):
             if k >= T:
-                ev_s, map_s, marg_s = skipped_k()
+                ev_s, map_s, marg_s, mom_s = skipped_k()
                 evs.append(ev_s)
                 maps.append(map_s)
                 margs.append(marg_s)
+                moms.append(mom_s)
             else:
                 i = ks.index(k)
                 evs.append(ev_all[i])
                 maps.append(map_all[i])
+                moms.append(mom_all[i])
                 if marginals:
                     margs.append(marg_all[i])
     else:
         # -- per-k loop with checkpoint/resume --------------------------------
         runner = _get_lockstep_runner(logL_fn, T, n, N, steps_per_k,
-                                      steps_per_k, K1, marginals)
-        evs, maps, margs = [], [], []
+                                      steps_per_k, K1, marginals,
+                                      mom_maxiter=mom_maxiter)
+        evs, maps, margs, moms = [], [], [], []
         start_k = 0
         config = _checkpoint_config(batch, k_max, steps_per_k, N,
                                     marginals, informed_init)
@@ -531,6 +577,10 @@ def sample_batch(model, batch: TrajectoryBatch,
             start_k = int(ck["next_k"])
             evs = [ck["evs"][i] for i in range(start_k)]
             maps = [ck["maps"][i] for i in range(start_k)]
+            if "moms" in ck.files and len(ck["moms"]):
+                moms = [ck["moms"][i] for i in range(start_k)]
+            else:  # checkpoint predating the mom_ok flag
+                moms = [np.ones(B, dtype=bool) for _ in range(start_k)]
             if marginals:
                 margs = [ck["margs"][i] for i in range(start_k)]
             key = jax.random.wrap_key_data(ck["key_data"])
@@ -539,6 +589,7 @@ def sample_batch(model, batch: TrajectoryBatch,
             tmp = f"{checkpoint}.tmp"
             np.savez(tmp, config=config, next_k=next_k,
                      evs=np.stack(evs), maps=np.stack(maps),
+                     moms=np.stack(moms),
                      margs=np.stack(margs) if marginals else np.zeros(0),
                      key_data=np.asarray(jax.random.key_data(key)))
             os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz",
@@ -546,10 +597,11 @@ def sample_batch(model, batch: TrajectoryBatch,
 
         for k in range(start_k, k_max + 1):
             if k >= T:
-                ev_s, map_s, marg_s = skipped_k()
+                ev_s, map_s, marg_s, mom_s = skipped_k()
                 evs.append(ev_s)
                 maps.append(map_s)
                 margs.append(marg_s)
+                moms.append(mom_s)
                 continue
 
             p = _per_k_params(cfc, k, K1, B, n, informed)
@@ -561,16 +613,19 @@ def sample_batch(model, batch: TrajectoryBatch,
 
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, B)
-            ev_k, map_k, marg_k = runner(per_traj, keys, transitions, a0,
-                                         logp0, a_inf, logp_inf, use_inf,
-                                         active, logprior, cb, pb)
+            ev_k, map_k, marg_k, mom_k = runner(per_traj, keys, transitions,
+                                                a0, logp0, a_inf, logp_inf,
+                                                use_inf, active, logprior,
+                                                cb, pb)
             evs.append(np.asarray(ev_k))
             maps.append(np.asarray(map_k))
+            moms.append(np.asarray(mom_k))
             if marginals:
                 margs.append(np.asarray(marg_k))
             save_checkpoint(k + 1)
 
     evs = np.stack(evs, axis=1)          # (B, K+1, 3)
+    mom_ok = np.stack(moms, axis=1)      # (B, K+1)
     evidence = evs[:, :, 0]
     evidence_se = evs[:, :, 1]
 
@@ -602,4 +657,5 @@ def sample_batch(model, batch: TrajectoryBatch,
         map_profiles=map_profiles,
         dE=dE,
         marginals=margs_out,
+        mom_ok=mom_ok[:B_real],
     )

@@ -43,6 +43,9 @@ class DatasetResults:
     marginals: Optional[List[np.ndarray]] = None  # B entries, (K+1, n, T_i)
     optimized: Optional[List[np.ndarray]] = None  # B entries, (T_i,)
     eliminated: Optional[np.ndarray] = None       # (B,) postproc flags
+    # (B, K+1) — CFC method-of-marginals converged for that (trajectory, k)
+    # lockstep run (see BatchResults.mom_ok); True for skipped/padded k
+    mom_ok: Optional[np.ndarray] = None
 
     def best_k(self, dE=None) -> np.ndarray:
         dE = self.dE if dE is None else dE
@@ -142,6 +145,7 @@ def sample_dataset(model, trajs: Sequence,
     margs_by_traj: List[Optional[np.ndarray]] = [None] * B_total
     opt_by_traj: List[Optional[np.ndarray]] = [None] * B_total
     elim_all = np.zeros(B_total, dtype=bool)
+    mom_all = np.ones((B_total, K1), dtype=bool)
 
     # stable chunk schedule: bucket, then split each bucket
     work = []
@@ -176,6 +180,8 @@ def sample_dataset(model, trajs: Sequence,
             marg = loaded["marginals"] if marginals else None
             opt = loaded["optimized"] if optimize_boundaries else None
             elim = loaded["eliminated"] if optimize_boundaries else None
+            mom = (loaded["mom_ok"] if "mom_ok" in loaded.files
+                   else np.ones_like(ev, dtype=bool))
         else:
             res = sample_batch(
                 model, sub, k_max=k_max, steps_per_k=steps_per_k, N=N,
@@ -184,6 +190,7 @@ def sample_dataset(model, trajs: Sequence,
                 mesh=mesh, key=jax.random.fold_in(key, c), **sample_kw)
             ev, se, maps = res.evidence, res.evidence_se, res.map_profiles
             marg = res.marginals
+            mom = res.mom_ok
             opt = elim = None
             if optimize_boundaries:
                 from ..postproc import optimize_boundary_batch
@@ -196,7 +203,8 @@ def sample_dataset(model, trajs: Sequence,
                          marginals=(marg if marginals else np.zeros(0)),
                          optimized=(opt if opt is not None else np.zeros(0)),
                          eliminated=(elim if elim is not None
-                                     else np.zeros(0)))
+                                     else np.zeros(0)),
+                         mom_ok=mom)
                 os.replace(tmp, ck_path)
 
         k_here = ev.shape[1]
@@ -207,6 +215,7 @@ def sample_dataset(model, trajs: Sequence,
             evidence[i, k_here:] = -np.inf
             evidence_se[i, :k_here] = se[row]
             evidence_se[i, k_here:] = 1e-10
+            mom_all[i, :k_here] = mom[row]
             Ti = int(lengths[row])
             prof = np.zeros((K1, Ti), dtype=int)
             prof[:k_here] = maps[:, row, :Ti]
@@ -229,4 +238,5 @@ def sample_dataset(model, trajs: Sequence,
         marginals=margs_by_traj if marginals else None,
         optimized=opt_by_traj if optimize_boundaries else None,
         eliminated=elim_all if optimize_boundaries else None,
+        mom_ok=mom_all,
     )

@@ -6,6 +6,12 @@ runs on real hardware).
 Must set env vars before jax is imported anywhere.
 """
 import os
+import sys
+
+# optional line coverage (COV=1): must start before the package is imported
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+import simplecov  # noqa: E402
+simplecov.start_from_env()
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -1,0 +1,128 @@
+"""
+Minimal line-coverage collector for environments without the ``coverage``
+package (this image has no network access). Uses Python 3.12's
+``sys.monitoring`` LINE events, restricted to files under ``bild_tpu/``;
+non-package code locations are DISABLEd at first hit, so overhead stays
+bounded.
+
+Reference analog: ``make tests`` runs ``coverage`` with exclusions
+(``/root/reference/Makefile:102-106``). Enable via ``COV=1``:
+
+    COV=1 python -m pytest tests/ -q       # report printed at exit
+    make tests-cov
+
+Known limitation (same as any tracer on JAX code): jitted function bodies
+count only their trace-time execution — which is exactly the Python-line
+coverage notion anyway.
+"""
+from __future__ import annotations
+
+import atexit
+import os
+import sys
+
+_TOOL = sys.monitoring.COVERAGE_ID if hasattr(sys, "monitoring") else 1
+_executed: dict[str, set[int]] = {}
+_prefix = ""
+_started = False
+
+
+def start(package_dir):
+    """Begin collecting line coverage for files under ``package_dir``."""
+    global _prefix, _started
+    if _started:
+        return
+    _prefix = os.path.abspath(package_dir) + os.sep
+    mon = sys.monitoring
+    mon.use_tool_id(_TOOL, "simplecov")
+
+    def on_line(code, line):
+        fn = code.co_filename
+        if fn.startswith(_prefix):
+            _executed.setdefault(fn, set()).add(line)
+            return None
+        return mon.DISABLE
+
+    mon.register_callback(_TOOL, mon.events.LINE, on_line)
+    mon.set_events(_TOOL, mon.events.LINE)
+    _started = True
+
+
+def _executable_lines(path):
+    """All line numbers bearing executable code, from the compiled code
+    object tree (the same notion `coverage` uses, minus branch analysis)."""
+    with open(path) as f:
+        src = f.read()
+    try:
+        top = compile(src, path, "exec")
+    except SyntaxError:
+        return set()
+    lines = set()
+    stack = [top]
+    while stack:
+        code = stack.pop()
+        for _, _, line in code.co_lines():
+            if line is not None and line > 0:
+                lines.add(line)
+        for const in code.co_consts:
+            if hasattr(const, "co_lines"):
+                stack.append(const)
+    # docstring-only and `pass`-like lines still appear; close enough
+    return lines
+
+
+def report(out=sys.stdout):
+    """Per-file and total coverage for every .py under the package dir."""
+    rows = []
+    for root, _dirs, files in os.walk(_prefix):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            exe = _executable_lines(path)
+            if not exe:
+                continue
+            hit = _executed.get(path, set()) & exe
+            rows.append((os.path.relpath(path), len(hit), len(exe)))
+    if not rows:
+        print("simplecov: no data collected", file=out)
+        return
+    width = max(len(r[0]) for r in rows)
+    print(f"\n{'Name':{width}}  {'Stmts':>6} {'Miss':>6} {'Cover':>6}",
+          file=out)
+    print("-" * (width + 22), file=out)
+    tot_h = tot_e = 0
+    for name, h, e in rows:
+        tot_h += h
+        tot_e += e
+        print(f"{name:{width}}  {e:>6} {e - h:>6} {100 * h / e:>5.0f}%",
+              file=out)
+    print("-" * (width + 22), file=out)
+    print(f"{'TOTAL':{width}}  {tot_e:>6} {tot_e - tot_h:>6} "
+          f"{100 * tot_h / tot_e:>5.0f}%", file=out)
+
+
+def _report_at_exit():
+    # pytest closes the capture streams before atexit runs: write the
+    # report to a file and best-effort echo it to the real stderr
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "COVERAGE.txt")
+    with open(path, "w") as f:
+        report(out=f)
+    try:
+        with open(path) as f:
+            sys.__stderr__.write(f.read())
+        sys.__stderr__.write(f"(written to {path})\n")
+    except (ValueError, OSError):
+        pass
+
+
+def start_from_env():
+    """Start collection if COV=1, and write COVERAGE.txt at interpreter
+    exit. Call from conftest before importing the package."""
+    if os.environ.get("COV") not in (None, "", "0"):
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        start(os.path.join(here, "bild_tpu"))
+        atexit.register(_report_at_exit)
