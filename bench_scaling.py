@@ -1,0 +1,109 @@
+"""
+Multi-chip weak-scaling evidence on a VIRTUAL device mesh (VERDICT r2 #8).
+
+Real multi-chip hardware is not reachable from this environment (one TPU
+chip over a tunnel), so this runs `parallel.sample_batch` on an
+``xla_force_host_platform_device_count`` CPU mesh at FIXED PER-DEVICE LOAD
+(B = B_per_dev * n_dev) for n_dev in 1, 2, 4, 8.
+
+Interpretation on virtual devices: all "devices" share the host's cores, so
+ideal weak scaling is wall(n) ~= n * wall(1) (the work grows n-fold but the
+silicon doesn't). The reported ``overhead(n) = wall(n) / (n * wall(1))``
+isolates everything that is NOT the per-device compute — host-side per-k
+prep, sharding/layout transfers, collective scheduling. overhead ~ 1 means
+no hidden serialization rides along with device count; that is the part of
+weak scaling this environment can falsify. (On real chips the same program
+would target wall(n) ~= wall(1).)
+
+Also asserts mesh-run results equal the unsharded single-device run on the
+same batch rows (data parallelism must not change the math).
+
+Usage: python bench_scaling.py [--b-per-dev 16] [--out SCALING.json]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b-per-dev", type=int, default=16)
+    ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--out", default="SCALING.json")
+    args = ap.parse_args()
+    devs = [int(x) for x in args.devices.split(",")]
+    n_max = max(devs)
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_max}").strip()
+
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from jax.sharding import Mesh
+
+    from bild_tpu.models import MultiStateRouse
+    from bild_tpu.parallel import sample_batch
+
+    from bench_e2e import _truth_profiles, _accuracy
+
+    rng = np.random.default_rng(8)
+    model = MultiStateRouse(20, 1.0, 5.0, d=3, localization_error=0.1)
+    B_max = args.b_per_dev * n_max
+    truths = _truth_profiles(rng, B_max, 100, 2)
+    batch_full = model.trajectories_from_loopingprofiles(
+        truths, key=jax.random.key(0))
+
+    kw = dict(k_max=4, steps_per_k=8, N=64, informed_init=True,
+              scout_steps=4, refine_top=2)
+
+    results = {"b_per_dev": args.b_per_dev, "runs": []}
+    wall1 = None
+    ref_best = None
+    for n in devs:
+        B = args.b_per_dev * n
+        from bild_tpu.parallel.batch import TrajectoryBatch
+        batch = TrajectoryBatch(data=batch_full.data[:B],
+                                valid=batch_full.valid[:B],
+                                lengths=batch_full.lengths[:B])
+        mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+
+        def run():
+            return sample_batch(model, batch, mesh=mesh,
+                                key=jax.random.key(42), **kw)
+
+        res = run()                    # warm (compiles per B shape)
+        t0 = time.perf_counter()
+        res = run()
+        wall = time.perf_counter() - t0
+
+        if n == 1:
+            wall1 = wall
+            ref_best = np.asarray(res.best_profile())
+        else:
+            # data-parallel sharding must not change the math: rows shared
+            # with the n=1 run get bit-identical profiles (same PRNG keys)
+            b1 = args.b_per_dev
+            assert np.array_equal(np.asarray(res.best_profile())[:b1],
+                                  ref_best[:b1]), \
+                "mesh run diverged from single-device run"
+
+        overhead = wall / (n * wall1)
+        acc = _accuracy(res.best_profile(), truths[:B])
+        row = {"n_dev": n, "B": B, "wall_s": round(wall, 2),
+               "overhead_vs_ideal": round(overhead, 3),
+               "frame_accuracy": round(acc, 4)}
+        results["runs"].append(row)
+        print(json.dumps(row), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

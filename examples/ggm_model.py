@@ -29,11 +29,14 @@ def main():
         [(GGM.MSD_function_twoLocusRouse(G=0.2, J=1.0), 0.1, 0)],
     ])
 
+    # BILD_SMOKE=1: tiny shapes so CI can exercise this end-to-end cheaply
+    smoke = os.environ.get("BILD_SMOKE") == "1"
+    T, B = (24, 3) if smoke else (100, 16)
     rng = np.random.default_rng(0)
-    true = np.zeros(100, dtype=int)
-    true[30:60] = 1
+    true = np.zeros(T, dtype=int)
+    true[3 * T // 10: 6 * T // 10] = 1
     trajs = [model.trajectory_from_loopingprofile(true, rng=rng)
-             for _ in range(16)]
+             for _ in range(B)]
 
     # quick per-frame guess (beyond the reference, which has no GGM init)
     guess = model.initial_loopingprofile(trajs[0])
@@ -47,9 +50,10 @@ def main():
           np.mean(np.asarray(res.best_profile()[:]) == true))
 
     # dataset mode (scouted schedule)
-    ds = sample_dataset(model, trajs, k_max=4, steps_per_k=12, N=128,
-                        scout_steps=4, refine_top=3, informed_init=True,
-                        key=jax.random.key(2))
+    ds = sample_dataset(model, trajs, k_max=2 if smoke else 4,
+                        steps_per_k=3 if smoke else 12, N=32 if smoke else 128,
+                        scout_steps=None if smoke else 4, refine_top=3,
+                        informed_init=True, key=jax.random.key(2))
     accs = [float(np.mean(p == true)) for p in ds.best_profile()]
     print(f"dataset: mean frame accuracy {np.mean(accs):.3f} over "
           f"{len(trajs)} trajectories, best_k histogram "

@@ -35,8 +35,10 @@ def synthesize(model, B=64, T=100, seed=0):
 
 
 def main():
+    # BILD_SMOKE=1: tiny shapes so CI can exercise this end-to-end cheaply
+    smoke = os.environ.get("BILD_SMOKE") == "1"
     # flagship 2-state (unlooped/looped) Rouse model, dual-color 3d readout
-    model = bild.models.MultiStateRouse(20, D=1, k=5, d=3,
+    model = bild.models.MultiStateRouse(8 if smoke else 20, D=1, k=5, d=3,
                                         localization_error=0.1)
 
     if len(sys.argv) > 1:
@@ -44,7 +46,7 @@ def main():
                                               localization_error=0.1)
         print(f"loaded {len(trajs)} trajectories from {sys.argv[1]}")
     else:
-        trajs = synthesize(model)
+        trajs = synthesize(model, B=6, T=24) if smoke else synthesize(model)
         print(f"synthesized {len(trajs)} trajectories")
 
     mesh = make_mesh()
@@ -55,9 +57,11 @@ def main():
     # trajectory's most plausible switch counts. (For manual control over
     # buckets, see `bucket_trajectories` + `sample_batch`.)
     t0 = time.time()
-    res = sample_dataset(model, trajs, k_max=4, steps_per_k=15,
-                         scout_steps=4, refine_top=3, informed_init=True,
-                         mesh=mesh, key=jax.random.key(42))
+    res = sample_dataset(model, trajs, k_max=2 if smoke else 4,
+                         steps_per_k=3 if smoke else 15, N=32 if smoke else 128,
+                         scout_steps=None if smoke else 4, refine_top=3,
+                         informed_init=True, mesh=mesh,
+                         key=jax.random.key(42))
     best_k = res.best_k(dE=0)
     profiles = res.best_profile()
     print(f"k histogram {np.bincount(best_k, minlength=5)}")

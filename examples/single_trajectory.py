@@ -16,12 +16,15 @@ import bild_tpu as bild
 
 
 def main():
-    model = bild.models.MultiStateRouse(20, D=1, k=5, d=3,
+    # BILD_SMOKE=1: tiny shapes so CI can exercise this end-to-end cheaply
+    smoke = os.environ.get("BILD_SMOKE") == "1"
+    T = 24 if smoke else 100
+    model = bild.models.MultiStateRouse(8 if smoke else 20, D=1, k=5, d=3,
                                         localization_error=0.1)
 
-    # ground truth: a loop between frames 30 and 60
-    truth = np.zeros(100, dtype=int)
-    truth[30:60] = 1
+    # ground truth: a loop over the middle third of the trajectory
+    truth = np.zeros(T, dtype=int)
+    truth[3 * T // 10: 6 * T // 10] = 1
     traj = model.trajectory_from_loopingprofile(truth, key=jax.random.key(0))
 
     res = bild.sample(traj, model, key=jax.random.key(1))
