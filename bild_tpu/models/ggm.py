@@ -192,6 +192,52 @@ def _stationary_prefix_entries(values, u, cond, Lchol, logdet_cum, mean,
     return lp.T.reshape(B, C, W), lp0
 
 
+@functools.partial(jax.jit, static_argnames=("n_states", "Lb"))
+def _profile_table_sum_banded(profiles, Bandflat, Headflat, Gflat,
+                              n_states, Lb):
+    """
+    Banded-table gather-sum (see ``GenericGaussianModel`` ``T_band``).
+
+    ``Bandflat[(s*T + t0)*(Lb+1) + l]`` is the exact contribution of interval
+    ``[t0, t0+l)`` for ``l <= Lb``. Longer intervals decompose into the exact
+    W-frame head window plus per-frame sliding-window conditionals:
+
+        V[t0, t1] = Head[s*T + t0] + G[s*T + t1 - 1] - G[s*T + u + Lb]
+
+    with ``u = max(t0-1, 0)``, ``W = Lb+1``, ``G`` the cumulative sum of
+    ``g[t] = log p(x_t | x_{t-Lb..t-1})``. Everything is elementwise +
+    gathers; same NaN contract as `_profile_table_sum`.
+    """
+    P, T = profiles.shape
+    profiles = profiles.astype(jnp.int32)
+    tgrid = jnp.arange(T, dtype=jnp.int32)
+
+    start = jnp.concatenate(
+        [jnp.ones((P, 1), bool), profiles[:, 1:] != profiles[:, :-1]], axis=1)
+    idx = jnp.where(start, tgrid[None, :], T)
+    suffix_min = jax.lax.associative_scan(
+        jnp.minimum, idx[:, ::-1], axis=1)[:, ::-1]
+    nxt = jnp.concatenate(
+        [suffix_min[:, 1:], jnp.full((P, 1), T, dtype=jnp.int32)], axis=1)
+
+    safe_s = jnp.clip(profiles, 0, n_states - 1)
+    length = nxt - tgrid[None, :]               # interval length at starts
+    u = jnp.maximum(tgrid - 1, 0)[None, :]
+    inb = length <= Lb
+    band_idx = ((safe_s * T + tgrid[None, :]) * (Lb + 1)
+                + jnp.clip(length, 0, Lb))
+    head_idx = safe_s * T + tgrid[None, :]
+    ghi_idx = safe_s * T + jnp.clip(nxt - 1, 0, T - 1)
+    glo_idx = safe_s * T + jnp.clip(u + Lb, 0, T - 1)
+    val = jnp.where(inb, jnp.take(Bandflat, band_idx),
+                    jnp.take(Headflat, head_idx)
+                    + jnp.take(Gflat, ghi_idx) - jnp.take(Gflat, glo_idx))
+    total = jnp.sum(val * start, axis=1)
+
+    in_range = jnp.all((profiles >= 0) & (profiles < n_states), axis=1)
+    return jnp.where(in_range, total, jnp.nan)
+
+
 @functools.partial(jax.jit, static_argnames=("n_states",))
 def _profile_table_sum(profiles, Vflat, n_states):
     """
@@ -238,15 +284,39 @@ class GenericGaussianModel(MultiStateModel):
     ``(msd_fun, mean, ss_order)`` triples; ``ss_order`` is 0 (positionally
     stationary) or 1 (increment-stationary). See reference
     ``bild/models.py:557-564``.
+
+    T_band : optional int (>= 8)
+        Long-trajectory mode: for gap-free trajectories with ``T > T_band``,
+        interval contributions are computed from a BANDED table — exact for
+        intervals whose conditioning window fits in ``T_band`` frames, and
+        a per-frame sliding-window conditional (memory ``T_band - 1``) for
+        the tail of longer intervals. Memory/build cost drop from
+        O(n T^2) / O(T^3) to O(n T T_band) / O(T T_band^2).
+
+        The tail is a truncated-memory approximation: the conditional of a
+        frame given its last ``T_band - 1`` observations instead of the
+        whole window. The error depends on the MSD's memory (measured at
+        ``T_band = 64``: ~2e-3 nats per tail frame for two-locus Rouse and
+        power-law a=0.5; up to ~2e-2 for a long-memory power-law a=0.8
+        increment process — halve it by doubling ``T_band``). Small against
+        typical evidence differences but NOT exact: leave ``T_band=None``
+        (default) when bit-parity with `logL_host` matters more than
+        memory, and validate the band for your spec against `logL_host`.
+        Trajectories with missing frames always use the exact tables and
+        raise if they exceed ``T_band``.
     """
 
-    def __init__(self, state_spec):
+    def __init__(self, state_spec, T_band=None):
         self.state_spec = np.asarray(state_spec, dtype=object)
         assert len(self.state_spec.shape) == 3
         self.init_transitions(self.state_spec.shape[0])
-        # single-slot interval-table cache (keyed on the trajectory's data
-        # array identity): bounded by construction, unlike a growing memo
+        if T_band is not None and int(T_band) < 8:
+            raise ValueError(f"T_band must be >= 8, got {T_band}")
+        self.T_band = None if T_band is None else int(T_band)
+        # single-slot payload caches (keyed on the data array identity):
+        # bounded by construction, unlike a growing memo
         self._table_cache = None
+        self._full_table_cache = None
 
     # -- MSD constructors (reference ``bild/models.py:583-599``) -----------
     @staticmethod
@@ -284,34 +354,81 @@ class GenericGaussianModel(MultiStateModel):
         """``(n, T)`` frame-factorized scores: the single-frame diagonal of
         the interval table. Enables DP-segmentation informed init
         (`segment_guess`) for GGM."""
-        V = np.asarray(self.interval_table(traj))      # (n, T, T+1)
-        T = V.shape[1]
+        mode, arrs, Lb = self._payload_for_traj(traj)
+        T = len(traj)
+        n = self.nStates
+        if mode == "banded":
+            Band = np.asarray(arrs[0][0]).reshape(n, T, Lb + 1)
+            return Band[:, :, 1]
+        V = np.asarray(arrs[0][0]).reshape(n, T, T + 1)
         return V[:, np.arange(T), np.arange(T) + 1]
 
     def lockstep_segment_tables(self, batch):
         """``(B, n, T)`` batched frame scores (see `_segment_table`); reuses
         the cached lockstep interval tables."""
-        (Vflat,), _ = self.lockstep_fns(batch)
+        arrs, _ = self.lockstep_fns(batch)
+        mode, _, Lb = self._lockstep_table_cache[1]
         B = batch.data.shape[0]
         T = batch.data.shape[1]
-        V = np.asarray(Vflat).reshape(B, self.nStates, T, T + 1)
+        n = self.nStates
+        if mode == "banded":
+            Band = np.asarray(arrs[0]).reshape(B, n, T, Lb + 1)
+            return Band[:, :, :, 1]
+        V = np.asarray(arrs[0]).reshape(B, n, T, T + 1)
         return V[:, :, np.arange(T), np.arange(T) + 1]
 
     def clear_memo(self):
         self._table_cache = None
+        self._full_table_cache = None
         self._lockstep_table_cache = None
 
     # -- device interval table ---------------------------------------------
     def interval_table(self, traj) -> jax.Array:
-        """``(n, T, T+1)`` table of interval log-likelihood contributions;
-        entry ``[s, t0, t1]`` covers frames ``[t0, t1)`` in state s with the
-        continuity conditioning applied whenever ``t0 > 0``."""
-        if self._table_cache is not None and self._table_cache[0] is traj.data:
-            return self._table_cache[1]
+        """``(n, T, T+1)`` EXACT table of interval log-likelihood
+        contributions; entry ``[s, t0, t1]`` covers frames ``[t0, t1)`` in
+        state s with the continuity conditioning applied whenever ``t0 > 0``.
+        Always exact, independent of ``T_band`` (it materializes the full
+        O(n T^2) table — the thing banded mode exists to avoid)."""
+        if (self._full_table_cache is not None
+                and self._full_table_cache[0] is traj.data):
+            return self._full_table_cache[1]
         V = self._build_interval_table(np.asarray(traj.data),
                                        np.asarray(traj.valid))
-        self._table_cache = (traj.data, V)
+        self._full_table_cache = (traj.data, V)
         return V
+
+    # -- payload = ("full", (Vflat,), None) | ("banded", (Band, Head, G), Lb)
+    def _tables_payload_batch(self, data, valid):
+        data = np.asarray(data)
+        valid = np.asarray(valid)
+        B, T, _ = data.shape
+        if self.T_band is not None and T > self.T_band:
+            if not valid.all():
+                raise ValueError(
+                    "banded GGM tables (T_band) require gap-free "
+                    "trajectories; rows with missing frames need the exact "
+                    "tables — construct the model with T_band=None or "
+                    "bucket gapped trajectories separately")
+            Band, Head, G = self._banded_tables_batch(data)
+            Lb = self.T_band - 1
+            dt = fdtype()
+            return ("banded",
+                    (jnp.asarray(Band.reshape(B, -1), dtype=dt),
+                     jnp.asarray(Head.reshape(B, -1), dtype=dt),
+                     jnp.asarray(G.reshape(B, -1), dtype=dt)),
+                    Lb)
+        V = self._build_interval_tables_batch(data, valid)
+        return ("full", (V.reshape(B, -1),), None)
+
+    def _payload_for_traj(self, traj):
+        """Single-trajectory payload with the arrays' leading B=1 axis
+        retained (so lockstep and adaptive paths share builders)."""
+        if self._table_cache is not None and self._table_cache[0] is traj.data:
+            return self._table_cache[1]
+        payload = self._tables_payload_batch(
+            np.asarray(traj.data)[None], np.asarray(traj.valid)[None])
+        self._table_cache = (traj.data, payload)
+        return payload
 
     def _build_interval_table(self, data, valid) -> jax.Array:
         return self._build_interval_tables_batch(
@@ -468,14 +585,119 @@ class GenericGaussianModel(MultiStateModel):
 
         return jnp.asarray(V, dtype=dt)
 
+    def _banded_tables_batch(self, data):
+        """
+        Banded interval tables for gap-free trajectories:
+        ``(Band (B, n, T, Lb+1), Head (B, n, T), G (B, n, T))`` with
+        ``Lb = T_band - 1`` (see `_profile_table_sum_banded` for the
+        decomposition). Two prefix-solves per (state, dim) — one with the
+        reference's per-``t0`` conditioning (Band + Head), one with sliding
+        fully-centered windows (the per-frame tail conditionals g) — each
+        O(T * T_band^2) instead of the exact path's O(T^3).
+        """
+        B, T, d = data.shape
+        n = self.nStates
+        dt = fdtype()
+        W = self.T_band
+        Lb = W - 1
+        lags = np.arange(T + 1, dtype=float)
+
+        Band = np.zeros((B, n, T, Lb + 1))
+        Head = np.zeros((B, n, T))
+        g = np.zeros((B, n, T))
+
+        t0s = np.arange(T)
+        usA = np.maximum(t0s - 1, 0)
+        condsA = t0s > 0
+        usB = np.maximum(t0s - Lb, 0)          # sliding window [t-Lb, t]
+        condsB = np.zeros(T, dtype=bool)
+
+        for s in range(n):
+            for dim in range(d):
+                msd_fun, mean, sso = self.state_spec[s, dim]
+                msd_tab = np.asarray(msd_fun(lags), dtype=float)
+                if int(sso) == 0:
+                    plateau = float(msd_fun(np.inf))
+                    Wd = W                       # frames per window
+                    km = np.abs(np.subtract.outer(np.arange(Wd),
+                                                  np.arange(Wd)))
+                    Cfull = 0.5 * (plateau - msd_tab[km])
+                    c00 = 0.5 * plateau
+                else:
+                    Wd = W - 1                   # increments per window
+                    km = np.abs(np.subtract.outer(np.arange(Wd),
+                                                  np.arange(Wd)))
+                    Cfull = 0.5 * (msd_tab[np.abs(km - 1)] + msd_tab[km + 1]
+                                   - 2 * msd_tab[km])
+                    c00 = 1.0
+                Lc = np.linalg.cholesky(Cfull)
+                logdet_cum = np.cumsum(2.0 * np.log(np.diag(Lc)))
+
+                vals_dev = jnp.asarray(data[:, :, dim], dtype=dt)
+                Lc_dev = jnp.asarray(Lc, dtype=dt)
+                ld_dev = jnp.asarray(logdet_cum, dtype=dt)
+                mean_dev = jnp.asarray(float(mean), dtype=dt)
+                c00_dev = jnp.asarray(float(c00), dtype=dt)
+
+                chunk = max(1, int((1 << 27) // max(B * Wd * 4, 1)))
+                lpA = np.empty((B, T, Wd))
+                lp0A = np.empty((B, T))
+                lpB = np.empty((B, T, Wd))
+                for lo in range(0, T, chunk):
+                    hi = min(lo + chunk, T)
+                    a_lp, a_lp0 = _stationary_prefix_entries(
+                        vals_dev, jnp.asarray(usA[lo:hi]),
+                        jnp.asarray(condsA[lo:hi]), Lc_dev, ld_dev,
+                        mean_dev, c00_dev, ss_order=int(sso), W=Wd, T=T)
+                    b_lp, _ = _stationary_prefix_entries(
+                        vals_dev, jnp.asarray(usB[lo:hi]),
+                        jnp.asarray(condsB[lo:hi]), Lc_dev, ld_dev,
+                        mean_dev, c00_dev, ss_order=int(sso), W=Wd, T=T)
+                    lpA[:, lo:hi] = np.asarray(a_lp, dtype=float)
+                    lp0A[:, lo:hi] = np.asarray(a_lp0, dtype=float)
+                    lpB[:, lo:hi] = np.asarray(b_lp, dtype=float)
+
+                # Band[t0, l] for l = 1..Lb: entry index into the t0 window
+                ls = np.arange(1, Lb + 1)
+                if int(sso) == 0:
+                    # frames: kidx = (t0 + l) - u - 1
+                    kidx = (t0s[:, None] + ls[None, :] - usA[:, None] - 1)
+                    ok = (t0s[:, None] + ls[None, :]) <= T    # t1 in range
+                    kidx = np.clip(kidx, 0, Wd - 1)
+                    contrib = (np.take_along_axis(
+                        lpA, kidx[None].repeat(B, 0), axis=2)
+                        - lp0A[:, :, None])
+                    Band[:, s, :, 1:] += np.where(ok[None], contrib, 0.0)
+                    Head[:, s] += lpA[:, :, Wd - 1] - lp0A
+                    g[:, s, Lb:] += (lpB[:, Lb:, Wd - 1]
+                                     - lpB[:, Lb:, Wd - 2])
+                else:
+                    # increments: kidx = (t0 + l) - u - 2; < 0 -> no term
+                    kidx = (t0s[:, None] + ls[None, :] - usA[:, None] - 2)
+                    ok = ((t0s[:, None] + ls[None, :]) <= T) & (kidx >= 0)
+                    kidx = np.clip(kidx, 0, Wd - 1)
+                    contrib = np.take_along_axis(
+                        lpA, kidx[None].repeat(B, 0), axis=2)
+                    Band[:, s, :, 1:] += np.where(ok[None], contrib, 0.0)
+                    Head[:, s] += lpA[:, :, Wd - 1]
+                    g[:, s, Lb:] += (lpB[:, Lb:, Wd - 1]
+                                     - lpB[:, Lb:, Wd - 2])
+
+        G = np.cumsum(g, axis=2)
+        return Band, Head, G
+
     # -- likelihood ---------------------------------------------------------
     def logL(self, profile, traj) -> float:
         return float(self.logL_batch(np.asarray(profile)[None, :], traj)[0])
 
     def logL_batch(self, profiles, traj) -> jax.Array:
-        V = self.interval_table(traj)
+        mode, arrs, Lb = self._payload_for_traj(traj)
         profiles = jnp.asarray(profiles, dtype=jnp.int32)
-        return _profile_table_sum(profiles, V.reshape(-1), self.nStates)
+        if mode == "banded":
+            return _profile_table_sum_banded(
+                profiles, arrs[0][0], arrs[1][0], arrs[2][0],
+                self.nStates, Lb)
+        return _profile_table_sum(profiles, arrs[0][0], self.nStates)
 
     def logL_host(self, profile, traj) -> float:
         """Float64 host oracle: the straight blockwise algorithm of reference
@@ -522,28 +744,36 @@ class GenericGaussianModel(MultiStateModel):
     def lockstep_fns(self, batch):
         """
         Lockstep-mode hooks (see ``MultiStateRouse.lockstep_fns``): the
-        per-trajectory data is the flattened interval table; the traceable
-        likelihood is the gather-sum `_profile_table_sum`.
+        per-trajectory data is the flattened interval table (full or banded
+        per ``T_band``); the traceable likelihood is the matching
+        gather-sum.
         """
-        B = batch.data.shape[0]
         cache = getattr(self, "_lockstep_table_cache", None)
         if cache is not None and cache[0] is batch.data:
-            tables = cache[1]
+            payload = cache[1]
         else:
-            tables = self._build_interval_tables_batch(
-                np.asarray(batch.data), np.asarray(batch.valid)).reshape(B, -1)
-            self._lockstep_table_cache = (batch.data, tables)
+            payload = self._tables_payload_batch(
+                np.asarray(batch.data), np.asarray(batch.valid))
+            self._lockstep_table_cache = (batch.data, payload)
+        mode, arrs, Lb = payload
 
-        if not hasattr(self, "_lockstep_logL_fn"):
+        if not hasattr(self, "_lockstep_logL_fns"):
+            self._lockstep_logL_fns = {}
+        fn_key = (mode, Lb)
+        if fn_key not in self._lockstep_logL_fns:
             n = self.nStates
+            if mode == "banded":
+                def logL_fn(profiles, per_traj, Lb=Lb):
+                    Bandflat, Headflat, Gflat = per_traj
+                    return _profile_table_sum_banded(
+                        profiles, Bandflat, Headflat, Gflat, n, Lb)
+            else:
+                def logL_fn(profiles, per_traj):
+                    (Vflat,) = per_traj
+                    return _profile_table_sum(profiles, Vflat, n)
+            self._lockstep_logL_fns[fn_key] = logL_fn
 
-            def logL_fn(profiles, per_traj):
-                (Vflat,) = per_traj
-                return _profile_table_sum(profiles, Vflat, n)
-
-            self._lockstep_logL_fn = logL_fn
-
-        return (tables,), self._lockstep_logL_fn
+        return arrs, self._lockstep_logL_fns[fn_key]
 
     # -- generative model (reference ``bild/models.py:663-728``) -----------
     def trajectory_from_loopingprofile(self, profile, missing_frames=None,

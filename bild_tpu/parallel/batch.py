@@ -322,6 +322,28 @@ def _informed_proposals_all_k_impl(model, batch, K1, n, T):
     return a_inf, logp_inf, feas
 
 
+# tail-trim memo: {id(orig.data): (orig.data, T_eff, trimmed_batch)}.
+# Storing the original array in the value pins it, so the id cannot be
+# recycled while the entry lives. Bounded (datasets stream many chunks).
+_TRIM_CACHE = {}
+_TRIM_CACHE_MAX = 8
+
+
+def _trim_tail(batch: TrajectoryBatch, T_eff: int) -> TrajectoryBatch:
+    key = id(batch.data)
+    hit = _TRIM_CACHE.pop(key, None)
+    if hit is not None and hit[0] is batch.data and hit[1] == T_eff:
+        _TRIM_CACHE[key] = hit          # refresh recency
+        return hit[2]
+    while len(_TRIM_CACHE) >= _TRIM_CACHE_MAX:
+        _TRIM_CACHE.pop(next(iter(_TRIM_CACHE)))
+    trimmed = TrajectoryBatch(data=batch.data[:, :T_eff],
+                              valid=batch.valid[:, :T_eff],
+                              lengths=batch.lengths)
+    _TRIM_CACHE[key] = (batch.data, T_eff, trimmed)
+    return trimmed
+
+
 def _checkpoint_config(batch, k_max, steps_per_k, N, marginals, informed_init):
     return np.array([batch.B, batch.T, k_max, steps_per_k, N,
                      int(marginals), int(informed_init)])
@@ -427,15 +449,16 @@ def sample_batch(model, batch: TrajectoryBatch,
     # trim the all-invalid tail of a padded bucket: frames past every
     # trajectory's true length cost full kernel propagation and contribute
     # nothing (a T=70 trajectory in a 128-bucket would waste ~45%). Results
-    # are edge-padded back to the input T below.
+    # are edge-padded back to the input T below. The trim is memoized on the
+    # input data array's identity so repeated calls on the same batch hand
+    # downstream `is`-keyed caches (GGM interval tables, informed init) the
+    # SAME sliced arrays instead of defeating them with fresh slices.
     T_in = batch.T
     informed_cache_token = (batch.data, T_in)
     if batch.lengths is not None and batch.B > 0:
         T_eff = max(int(np.max(np.asarray(batch.lengths))), 1)
         if T_eff < T_in:
-            batch = TrajectoryBatch(data=batch.data[:, :T_eff],
-                                    valid=batch.valid[:, :T_eff],
-                                    lengths=batch.lengths)
+            batch = _trim_tail(batch, T_eff)
             informed_cache_token = (informed_cache_token[0], T_eff)
     if mesh is not None:
         batch = pad_batch_rows(batch, -batch.B % mesh.shape["data"])

@@ -161,5 +161,11 @@ def st2profile(s: jax.Array, theta: jax.Array, T: int, active=None) -> jax.Array
     counts = switches[None, :] <= t_idx[:, None]
     if active is not None:
         counts = counts & jnp.asarray(active)[None, 1:]
-    iv_idx = jnp.sum(counts, axis=1)
-    return theta[iv_idx]
+    iv_idx = jnp.sum(counts, axis=1, dtype=jnp.int32)
+    # theta[iv_idx] as a one-hot mul-sum: the (T,)-long gather from a tiny
+    # (k+1,) vector lowers terribly on TPU (measured 52 ms vs ~2 ms per
+    # lockstep propose at 384x128 profiles — it dominated the whole AMIS
+    # update); broadcasting over the k+1 axis is free on the VPU
+    onehot = iv_idx[:, None] == jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+    return jnp.sum(jnp.where(onehot, theta[None, :], 0), axis=1,
+                   dtype=theta.dtype)

@@ -183,3 +183,105 @@ class TestGGMDataset:
         assert np.all(np.isfinite(res.evidence))
         # trajectory 0 (no switches) should prefer k=0 under a small margin
         assert res.best_k(dE=2.0)[0] == 0
+
+
+class TestBandedTables:
+    """T_band mode: banded interval tables for long gap-free trajectories
+    (exact in-band; documented truncated-memory tail conditionals)."""
+
+    @staticmethod
+    def _models(T_band):
+        spec = [
+            [(GGM.MSD_function_twoLocusRouse(G=1.0, J=5.0), 0.1, 0),
+             (GGM.MSD_function_powerlaw(G=0.5, a=0.5), 0.0, 1)],
+            [(GGM.MSD_function_twoLocusRouse(G=0.2, J=1.0), 0.0, 0),
+             (GGM.MSD_function_powerlaw(G=1.5, a=0.8), 0.1, 1)],
+        ]
+        return GGM(spec), GGM(spec, T_band=T_band)
+
+    def test_in_band_profiles_exact(self, rng):
+        # every interval's conditioning window fits in the band -> banded
+        # value must equal the exact table (both f64 on CPU)
+        T, band = 120, 48
+        exact, banded = self._models(band)
+        truth = np.zeros(T, dtype=int)
+        truth[40:80] = 1          # every interval is 40 frames < band
+        traj = exact.trajectory_from_loopingprofile(truth, rng=rng)
+        profs = [truth.copy()]
+        p = np.zeros(T, int)
+        for j in range(0, T, 40):
+            p[j + 20: j + 40] = 1
+        profs.append(p)
+        for prof in profs:
+            ll_e = float(exact.logL(prof, traj))
+            ll_b = float(banded.logL(prof, traj))
+            assert abs(ll_b - ll_e) < 1e-8 * max(1.0, abs(ll_e))
+
+    def test_long_interval_tail_close_to_host_oracle(self, rng):
+        # out-of-band intervals: truncated-memory tail. The error is
+        # MSD-dependent (measured at band=64: ~2e-3 nats/tail-frame for
+        # twoLocusRouse+powerlaw a=0.5, up to ~2e-2 with the long-memory
+        # a=0.8 increment dim in this spec)
+        T, band = 160, 64
+        exact, banded = self._models(band)
+        truth = np.zeros(T, dtype=int)
+        truth[40:100] = 1
+        traj = exact.trajectory_from_loopingprofile(truth, rng=rng)
+        for prof in [np.zeros(T, int), np.ones(T, int)]:
+            ll_h = exact.logL_host(prof, traj)
+            ll_b = float(banded.logL(prof, traj))
+            assert abs(ll_b - ll_h) < 0.05 * (T - band)  # nats, bounded
+        # and the exact model stays bit-parity with the host oracle
+        ll_e = float(exact.logL(np.zeros(T, int), traj))
+        assert np.isclose(ll_e, exact.logL_host(np.zeros(T, int), traj),
+                          rtol=1e-9)
+
+    def test_below_threshold_uses_exact(self, rng):
+        # T <= T_band: banded model silently uses the exact tables
+        T = 32
+        exact, banded = self._models(64)
+        truth = np.zeros(T, dtype=int)
+        truth[10:20] = 1
+        traj = exact.trajectory_from_loopingprofile(truth, rng=rng)
+        ll_e = float(exact.logL(truth, traj))
+        ll_b = float(banded.logL(truth, traj))
+        assert ll_b == ll_e
+
+    def test_gapped_rejected(self, rng):
+        T = 100
+        _, banded = self._models(32)
+        truth = np.zeros(T, dtype=int)
+        traj = banded.trajectory_from_loopingprofile(
+            truth, missing_frames=[5, 6, 7], rng=rng)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="gap-free"):
+            banded.logL(truth, traj)
+
+    def test_lockstep_banded(self, rng):
+        from bild_tpu.parallel import sample_batch, stack_trajectories
+        T, band = 96, 32
+        exact, banded = self._models(band)
+        truth = np.zeros(T, dtype=int)
+        truth[30:70] = 1
+        trajs = [exact.trajectory_from_loopingprofile(truth, rng=rng)
+                 for _ in range(3)]
+        batch = stack_trajectories(trajs)
+        r_b = sample_batch(banded, batch, k_max=3, steps_per_k=5, N=32,
+                           informed_init=True, key=jax.random.key(0))
+        r_e = sample_batch(exact, batch, k_max=3, steps_per_k=5, N=32,
+                           informed_init=True, key=jax.random.key(0))
+        assert np.all(np.isfinite(r_b.evidence))
+        # same schedule, same keys: evidences agree to the band truncation
+        assert np.nanmax(np.abs(r_b.evidence - r_e.evidence)) < 2.0
+        assert np.array_equal(r_b.best_k(dE=1.0), r_e.best_k(dE=1.0))
+
+    def test_segment_table_banded(self, rng):
+        T, band = 96, 32
+        exact, banded = self._models(band)
+        truth = np.zeros(T, dtype=int)
+        truth[30:70] = 1
+        traj = exact.trajectory_from_loopingprofile(truth, rng=rng)
+        se = np.asarray(exact._segment_table(traj))
+        sb = np.asarray(banded._segment_table(traj))
+        assert se.shape == sb.shape == (2, T)
+        np.testing.assert_allclose(sb, se, rtol=1e-8)
