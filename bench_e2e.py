@@ -230,13 +230,52 @@ def config6():
     }
 
 
+def config7():
+    """GGM long-T: T=1000 banded interval tables (T_band=128), B=16."""
+    import jax
+    from bild_tpu.models import GenericGaussianModel as GGM
+
+    rng = np.random.default_rng(7)
+    model = GGM([
+        [(GGM.MSD_function_twoLocusRouse(G=1.0, J=5.0), 0.1, 0)],
+        [(GGM.MSD_function_twoLocusRouse(G=0.2, J=1.0), 0.1, 0)],
+    ], T_band=128)
+    from bild_tpu.parallel import sample_batch, stack_trajectories
+    truths = _truth_profiles(rng, 16, 1000, 2)
+    trajs = [model.trajectory_from_loopingprofile(t, rng=rng)
+             for t in truths]
+    batch = stack_trajectories(trajs)
+
+    def run():
+        return sample_batch(model, batch, k_max=4, steps_per_k=12, N=128,
+                            informed_init=True, scout_steps=4, refine_top=3,
+                            key=jax.random.key(7))
+
+    res = run()                       # warm (compiles + banded table build)
+    t0 = time.perf_counter()
+    res = run()
+    dt = time.perf_counter() - t0
+    return {
+        "config": 7,
+        "model": "GenericGaussianModel T=1000 banded",
+        "B": 16,
+        "T": 1000,
+        "T_band": 128,
+        "wall_s_warm": round(dt, 2),
+        "traj_per_s": round(16 / dt, 2),
+        "frame_accuracy": _accuracy(res.best_profile(), truths),
+        "switch_count_accuracy": _switch_accuracy(res.best_k(), truths),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="2,3,4,6")
+    ap.add_argument("--configs", default="2,3,4,6,7")
     ap.add_argument("--out", default="PERF.json")
     args = ap.parse_args()
 
-    runners = {2: config2, 3: config3, 4: config4, 5: config5, 6: config6}
+    runners = {2: config2, 3: config3, 4: config4, 5: config5, 6: config6,
+               7: config7}
     results = {}
     for c in [int(x) for x in args.configs.split(",")]:
         print(f"== config {c} ==", flush=True)
