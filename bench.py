@@ -30,6 +30,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bild_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
+
     from bild_tpu.models import MultiStateRouse
     from bild_tpu.ops.kalman import msrouse_logL_batch
     from bild_tpu.ops.oracle import msrouse_logL_numpy

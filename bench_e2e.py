@@ -274,6 +274,9 @@ def main():
     ap.add_argument("--out", default="PERF.json")
     args = ap.parse_args()
 
+    from bild_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
+
     runners = {2: config2, 3: config3, 4: config4, 5: config5, 6: config6,
                7: config7}
     results = {}

@@ -8,11 +8,14 @@ for CPU-oracle parity testing the test-suite enables float64 via
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 
 __all__ = ["fdtype", "idtype", "MATMUL_PRECISION",
-           "rouse_kernel", "set_rouse_kernel"]
+           "rouse_kernel", "set_rouse_kernel",
+           "enable_compilation_cache"]
 
 # Precision for the small dense matmuls in the Kalman recursion. These are
 # numerically load-bearing (covariance propagation); bf16 passes are not
@@ -40,6 +43,26 @@ def set_rouse_kernel(name: str) -> None:
     if name not in ("sym", "dense", "xla"):
         raise ValueError(f"unknown kernel {name!r}; use 'sym'|'dense'|'xla'")
     _ROUSE_KERNEL = name
+
+
+def enable_compilation_cache(path: str | None = None,
+                             min_compile_secs: float = 2.0) -> str:
+    """Enable JAX's persistent on-disk compilation cache.
+
+    On remote-TPU platforms every distinct program shape costs a fresh
+    compile through the tunnel (tens of seconds; occasionally minutes when
+    the link degrades), so long-running drivers and benchmarks should always
+    persist compiles across processes. ``JAX_COMPILATION_CACHE_DIR`` takes
+    precedence if set; otherwise ``path`` (default ``/tmp/jaxcache``).
+    Returns the cache directory in effect.
+    """
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+        or path or "/tmp/jaxcache"
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    return cache_dir
 
 
 def fdtype():

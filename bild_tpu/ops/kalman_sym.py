@@ -327,9 +327,11 @@ def msrouse_logL_pallas_sym(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
     ~13 MB at n=2, N=50) would exhaust VMEM, so those shapes automatically
     fall back to the dense Pallas kernel (`kalman_pallas`), which they fit.
     """
-    n, N = np.asarray(Bs).shape[:2]
+    # Shape-only probes: jnp.asarray keeps traced args (e.g. a perturbed s2
+    # inside a timing fori_loop) abstract instead of forcing materialization.
+    n, N = np.asarray(Bs).shape[:2]          # model constants, concrete
     d = np.asarray(Gs).shape[2]
-    q = len(np.asarray(s2))
+    q = jnp.asarray(s2).shape[0]
     PP = N * (N + 1) // 2
     PPp = -(-PP // 8) * 8
     if _sym_vmem_bytes(n, N, d, q, PPp) > _SYM_VMEM_LIMIT:
