@@ -187,7 +187,7 @@ _LOCKSTEP_RUNNERS_MAX = 32
 
 
 def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
-                         variant="per_k", mom_maxiter=1000):
+                         variant="per_k", mom_maxiter=1000, start=0):
     """
     Compiled lockstep program. Variants (same per-(trajectory, k) math):
 
@@ -195,11 +195,20 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
       shared) — the checkpointable path.
     - ``fused``: vmap over k of vmap over trajectories — ALL k values run in
       ONE dispatch, removing per-k host prep + device sync gaps.
+    - ``fused_scout``: ``fused`` that additionally returns the final
+      `AmisState` and PRNG carry key per (k, trajectory) lane, so the refine
+      phase can WARM-START from the scout ensemble instead of rerunning from
+      scratch (buffer size ``S`` > ``steps`` run).
     - ``per_traj_k``: vmap over trajectories with a per-trajectory k
-      (active/logprior axis 0) — the refine phase of the scouted schedule.
+      (active/logprior axis 0) — refine from scratch (kept for parity tests).
+    - ``resume``: continue gathered scout states for ``steps - start`` more
+      AMIS steps (per-trajectory k); summaries span the FULL ``steps``-step
+      ensemble, bit-identical to a straight ``steps``-step run with the same
+      keys (same buffer size, same split schedule, no re-seeding — the
+      informed injection fires at scout step 1 only).
     """
     cache_key = (logL_fn, T, n, N, S, steps, K1, marginals, variant,
-                 mom_maxiter)
+                 mom_maxiter, start)
     if cache_key in _LOCKSTEP_RUNNERS:
         # refresh recency: dict insertion order is the eviction order
         hit = _LOCKSTEP_RUNNERS.pop(cache_key)
@@ -208,19 +217,45 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
     while len(_LOCKSTEP_RUNNERS) >= _LOCKSTEP_RUNNERS_MAX:
         _LOCKSTEP_RUNNERS.pop(next(iter(_LOCKSTEP_RUNNERS)))
 
+    def _step_body(state, key, per_traj, transitions, active,
+                   logprior, conc_brake_N, pol_brake_N):
+        key, sub = jax.random.split(key)
+        ss, th, profiles = amis_propose(state, sub, transitions, N=N, T=T,
+                                        active=active)
+        logLs = logL_fn(profiles, per_traj)
+        state, _ = amis_update(state, ss, th, logLs, transitions,
+                               logprior, conc_brake_N, pol_brake_N,
+                               maxiter=mom_maxiter, active=active)
+        return state, key
+
+    def _summaries(state, active, n_done):
+        """Per-k summaries over the first ``n_done`` filled ensemble rows."""
+        ev = state.evidences[n_done - 1]                     # (3,)
+        flat_logLs = state.logLs[:n_done].reshape(-1)
+        idx = jnp.argmax(flat_logLs)
+        ss_best = state.ss[:n_done].reshape(-1, K1)[idx]
+        th_best = state.thetas[:n_done].reshape(-1, K1)[idx]
+        map_prof = st2profile(ss_best, th_best, T, active=active)
+
+        if marginals:
+            log_w = (state.logLs[:n_done] - state.logdeltas[:n_done]
+                     + jnp.log(float(n_done)))
+            logpost = _marginal_posterior(
+                state.ss[:n_done], state.thetas[:n_done], log_w,
+                T=T, nStates=n, active=active)               # (n, T)
+        else:
+            logpost = jnp.zeros((0, 0), dtype=ev.dtype)
+        return ev, map_prof, logpost, state.mom_ok
+
     def run_one(per_traj, key, transitions, a0, logp0, a_inf, logp_inf,
                 use_informed, active, logprior, conc_brake_N, pol_brake_N):
         state = AmisState.create(S, N, K1 - 1, n, a0, logp0)
 
         def body(i, carry):
             state, key = carry
-            key, sub = jax.random.split(key)
-            ss, th, profiles = amis_propose(state, sub, transitions, N=N, T=T,
-                                            active=active)
-            logLs = logL_fn(profiles, per_traj)
-            state, _ = amis_update(state, ss, th, logLs, transitions,
-                                   logprior, conc_brake_N, pol_brake_N,
-                                   maxiter=mom_maxiter, active=active)
+            state, key = _step_body(state, key, per_traj, transitions,
+                                    active, logprior, conc_brake_N,
+                                    pol_brake_N)
             # after the first (uniform) step, inject the informed proposal as
             # the second mixture component (see FixedkSampler.step)
             seed = use_informed & (i == 0)
@@ -232,25 +267,20 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
                     jnp.where(seed, logp_inf, state.logps[1])))
             return state, key
 
-        state, _ = jax.lax.fori_loop(0, steps, body, (state, key))
+        state, key = jax.lax.fori_loop(0, steps, body, (state, key))
+        out = _summaries(state, active, steps)
+        if variant == "fused_scout":
+            return out + (state, key)
+        return out
 
-        # per-k summaries
-        ev = state.evidences[steps - 1]                      # (3,)
-        flat_logLs = state.logLs[:steps].reshape(-1)
-        idx = jnp.argmax(flat_logLs)
-        ss_best = state.ss[:steps].reshape(-1, K1)[idx]
-        th_best = state.thetas[:steps].reshape(-1, K1)[idx]
-        map_prof = st2profile(ss_best, th_best, T, active=active)
+    def run_resume(state, key, per_traj, transitions, active, logprior,
+                   conc_brake_N, pol_brake_N):
+        def body(_, carry):
+            return _step_body(*carry, per_traj, transitions, active,
+                              logprior, conc_brake_N, pol_brake_N)
 
-        if marginals:
-            log_w = (state.logLs[:steps] - state.logdeltas[:steps]
-                     + jnp.log(float(steps)))
-            logpost = _marginal_posterior(
-                state.ss[:steps], state.thetas[:steps], log_w,
-                T=T, nStates=n, active=active)               # (n, T)
-        else:
-            logpost = jnp.zeros((0, 0), dtype=ev.dtype)
-        return ev, map_prof, logpost, state.mom_ok
+        state, _ = jax.lax.fori_loop(0, steps - start, body, (state, key))
+        return _summaries(state, active, steps)
 
     # a0/logp0 are per-trajectory (axis 0): the informed-init path seeds each
     # trajectory's proposal at its own DP segmentation
@@ -261,11 +291,14 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
     elif variant == "per_traj_k":
         runner = jax.jit(jax.vmap(
             run_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0, 0, 0, None, None)))
-    elif variant == "fused":
+    elif variant in ("fused", "fused_scout"):
         over_B = jax.vmap(
             run_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0, None, None, None, None))
         runner = jax.jit(jax.vmap(
             over_B, in_axes=(None, 0, None, 0, 0, 0, 0, 0, 0, 0, None, None)))
+    elif variant == "resume":
+        runner = jax.jit(jax.vmap(
+            run_resume, in_axes=(0, 0, 0, None, 0, 0, None, None)))
     else:
         raise ValueError(f"unknown runner variant {variant!r}")
     _LOCKSTEP_RUNNERS[cache_key] = runner
@@ -408,14 +441,17 @@ def sample_batch(model, batch: TrajectoryBatch,
     scout_steps : optional int
         two-phase budget schedule: every k first gets only ``scout_steps``
         AMIS steps (the scout), then each trajectory's ``refine_top``
-        highest-evidence k values get the full ``steps_per_k`` steps (the
-        refine; evidence/MAP/marginals of refined k are replaced by the
-        refined run). The TPU-side analog of the reference's across-k
-        active learning (``bild/core.py:138-192``): lockstep shapes stay
-        static because every trajectory refines the same NUMBER of k values
-        — just not the same ones. Cuts the likelihood budget roughly by
-        ``(K+1-refine_top) * (steps_per_k - scout_steps)`` sweeps. Not
-        combinable with ``checkpoint``.
+        highest-evidence k values CONTINUE from their scout state for the
+        remaining ``steps_per_k - scout_steps`` steps (warm-start refine —
+        a refined (trajectory, k) ends up with exactly the ensemble a
+        straight ``steps_per_k``-step run would have produced, same PRNG
+        stream). The TPU-side analog of the reference's across-k active
+        learning (``bild/core.py:138-192``): lockstep shapes stay static
+        because every trajectory refines the same NUMBER of k values — just
+        not the same ones. Likelihood budget:
+        ``(k_max+1)*scout_steps + refine_top*(steps_per_k - scout_steps)``
+        sweeps instead of ``(k_max+1)*steps_per_k``. Not combinable with
+        ``checkpoint``.
     refine_top : int
         how many k values each trajectory refines (only with scout_steps).
     mom_maxiter : int
@@ -491,11 +527,15 @@ def sample_batch(model, batch: TrajectoryBatch,
 
     if checkpoint is None:
         # one dispatch for ALL k: per-k host prep and device sync gaps would
-        # otherwise serialize steps_per_k * (k_max+1) small programs
+        # otherwise serialize steps_per_k * (k_max+1) small programs.
+        # Scouted schedule: the ensemble buffer is sized for the FULL
+        # steps_per_k run so the refine phase warm-starts from the scout
+        # state (continuing the same chain) instead of rerunning from step 1.
         s1 = steps_per_k if scout_steps is None else scout_steps
-        runner = _get_lockstep_runner(logL_fn, T, n, N, s1, s1, K1,
-                                      marginals, variant="fused",
-                                      mom_maxiter=mom_maxiter)
+        runner = _get_lockstep_runner(
+            logL_fn, T, n, N, steps_per_k, s1, K1, marginals,
+            variant="fused" if scout_steps is None else "fused_scout",
+            mom_maxiter=mom_maxiter)
         ks = [k for k in range(k_max + 1) if k < T]
         params = [_per_k_params(cfc, k, K1, B, n, informed) for k in ks]
         stacks_np = [np.stack([p[i] for p in params]) for i in range(7)]
@@ -506,8 +546,14 @@ def sample_batch(model, batch: TrajectoryBatch,
             key, sub = jax.random.split(key)
             keys.append(jax.random.split(sub, B))
         keys = jnp.stack(keys)
-        ev_all, map_all, marg_all, mom_all = runner(
+        out = runner(
             per_traj, keys, transitions, *stacked[:6], stacked[6], cb, pb)
+        if scout_steps is None:
+            ev_all, map_all, marg_all, mom_all = out
+            scout_state = keys_out = None
+        else:
+            (ev_all, map_all, marg_all, mom_all,
+             scout_state, keys_out) = out
         # np.array (not asarray): jax arrays view as read-only, refine writes
         ev_all, map_all = np.array(ev_all), np.array(map_all)
         mom_all = np.array(mom_all)
@@ -516,9 +562,12 @@ def sample_batch(model, batch: TrajectoryBatch,
 
         R = 0 if scout_steps is None else max(0, min(refine_top, len(ks)))
         if R > 0:
-            # refine: each trajectory's top-R scouted k values get the full
-            # steps_per_k run, with per-trajectory k in ONE static-shape
-            # dispatch (active/logprior vary along the batch axis)
+            # refine: each trajectory's top-R scouted k values continue from
+            # their scout-phase AMIS state for the remaining steps, with
+            # per-trajectory k in ONE static-shape dispatch (active/logprior
+            # vary along the batch axis). Warm-starting makes the refined
+            # result identical to a straight steps_per_k run on that
+            # (trajectory, k) — the scout steps are not repeated.
             lengths = (np.asarray(batch.lengths) if batch.lengths is not None
                        else np.full(B, T))
             ks_arr = np.array(ks)
@@ -532,29 +581,29 @@ def sample_batch(model, batch: TrajectoryBatch,
 
             flat_kb = kb.reshape(-1)                            # (R*B,)
             bidx = np.tile(np.arange(B), R)
-            sel = [s[flat_kb, bidx] for s in stacks_np[:5]]     # per-(r,b)
             active_sel = stacks_np[5][flat_kb]
             logprior_sel = stacks_np[6][flat_kb]
-            sel_dev = ([jnp.asarray(s, dtype=dtype) for s in sel[:4]]
-                       + [jnp.asarray(sel[4]),
-                          jnp.asarray(active_sel),
-                          jnp.asarray(logprior_sel, dtype=dtype)])
+
+            # device-side gather of the selected (k, trajectory) scout lanes
+            sel_state = jax.tree_util.tree_map(
+                lambda x: x[flat_kb, bidx], scout_state)
+            keys_sel = keys_out[flat_kb, bidx]
 
             per_traj_R = jax.tree_util.tree_map(
                 lambda x: jnp.concatenate([x] * R, axis=0), per_traj)
             if mesh is not None:
                 from .mesh import shard_batch
                 per_traj_R = shard_batch(per_traj_R, mesh)
-            key, sub = jax.random.split(key)
-            keys_R = jax.random.split(sub, R * B)
 
             runner_r = _get_lockstep_runner(logL_fn, T, n, N, steps_per_k,
                                             steps_per_k, K1, marginals,
-                                            variant="per_traj_k",
-                                            mom_maxiter=mom_maxiter)
-            ev_r, map_r, marg_r, mom_r = runner_r(per_traj_R, keys_R,
-                                                  transitions, *sel_dev,
-                                                  cb, pb)
+                                            variant="resume",
+                                            mom_maxiter=mom_maxiter,
+                                            start=scout_steps)
+            ev_r, map_r, marg_r, mom_r = runner_r(
+                sel_state, keys_sel, per_traj_R, transitions,
+                jnp.asarray(active_sel),
+                jnp.asarray(logprior_sel, dtype=dtype), cb, pb)
             ev_r = np.asarray(ev_r).reshape(R, B, 3)
             map_r = np.asarray(map_r).reshape(R, B, T)
             mom_r = np.asarray(mom_r).reshape(R, B)

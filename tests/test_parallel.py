@@ -68,9 +68,14 @@ def test_sample_batch_scout_refine():
     # full-schedule error bar scale, not the scout's
     bk = scout.best_k()
     assert np.all(np.isfinite(scout.evidence[np.arange(8), bk]))
-    # scout with refine_top >= nk degenerates to refining everything
+    # scout with refine_top >= nk refines everything; warm-start refine
+    # continues each scout chain with the same PRNG stream, so this is
+    # BIT-IDENTICAL to the straight full schedule
     all_ref = sample_batch(model, batch, key=jax.random.key(0),
                            scout_steps=2, refine_top=10, **kw)
+    np.testing.assert_array_equal(all_ref.evidence, full.evidence)
+    np.testing.assert_array_equal(all_ref.map_profiles, full.map_profiles)
+    np.testing.assert_array_equal(all_ref.marginals, full.marginals)
     assert np.all(all_ref.best_k()[true_ks == 0] == 0)
 
 
