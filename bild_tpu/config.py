@@ -46,7 +46,7 @@ def set_rouse_kernel(name: str) -> None:
 
 
 def enable_compilation_cache(path: str | None = None,
-                             min_compile_secs: float = 2.0) -> str:
+                             min_compile_secs: float = 0.2) -> str:
     """Enable JAX's persistent on-disk compilation cache.
 
     On remote-TPU platforms every distinct program shape costs a fresh
@@ -55,6 +55,12 @@ def enable_compilation_cache(path: str | None = None,
     persist compiles across processes. ``JAX_COMPILATION_CACHE_DIR`` takes
     precedence if set; otherwise ``path`` (default ``/tmp/jaxcache``).
     Returns the cache directory in effect.
+
+    ``min_compile_secs`` defaults LOW (0.2 s): on a tunneled TPU even
+    "fast" compiles pay the round trip, and the many small helper programs
+    (trajectory generation, informed-init DP, eager gathers) collectively
+    cost tens of seconds per fresh process when not persisted — measured:
+    first dataset chunk 61 s -> 16 s with the 2.0 -> 0.2 change.
     """
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") \
         or path or "/tmp/jaxcache"
