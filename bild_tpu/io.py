@@ -107,7 +107,13 @@ def load_trajectories_csv(path, two_locus=False, localization_error=None,
     handle = ctypes.c_void_p()
     status = lib.bild_csv_load(str(path).encode(), ctypes.byref(handle))
     if status != 0:
-        raise IOError(f"native loader failed to read {path} (status {status})")
+        # statuses 1/2: unreadable file; 3: internal C++ exception. Fall
+        # back to the Python parser either way — it produces a precise
+        # error for a genuinely bad file, and handles transient native
+        # failures without killing the pipeline.
+        return load_trajectories_csv_python(
+            path, two_locus=two_locus,
+            localization_error=localization_error, max_frames=max_frames)
     try:
         n_trajs = ctypes.c_int64()
         total_rows = ctypes.c_int64()

@@ -114,8 +114,11 @@ bool parse_chunk(const char* begin, const char* end, int* n_values, Groups* out)
 
 extern "C" {
 
-// returns 0 on success; handle written through *out_handle
-int bild_csv_load(const char* path, void** out_handle) {
+// returns 0 on success; handle written through *out_handle.
+// The whole body is exception-guarded: a C++ exception crossing the C ABI
+// into ctypes is undefined behavior and in practice std::terminate()s the
+// host Python process — any failure must surface as a status code instead.
+static int bild_csv_load_impl(const char* path, void** out_handle) {
     std::ifstream f(path, std::ios::binary | std::ios::ate);
     if (!f) return 1;
     const std::streamsize size = f.tellg();
@@ -182,6 +185,15 @@ int bild_csv_load(const char* path, void** out_handle) {
 
     *out_handle = ds;
     return 0;
+}
+
+int bild_csv_load(const char* path, void** out_handle) {
+    try {
+        return bild_csv_load_impl(path, out_handle);
+    } catch (...) {
+        return 3;  // any C++ exception (bad_alloc, system_error from
+                   // std::thread, ...) -> clean status, python raises IOError
+    }
 }
 
 void bild_csv_dims(void* handle, int64_t* n_trajs, int64_t* total_rows,

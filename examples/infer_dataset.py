@@ -34,17 +34,22 @@ def synthesize(model, B=64, T=100, seed=0):
     return trajs
 
 
-def main():
-    # BILD_SMOKE=1: tiny shapes so CI can exercise this end-to-end cheaply
+def main(csv_path=None):
+    # BILD_SMOKE=1: tiny shapes so CI can exercise this end-to-end cheaply.
+    # The CLI argument is only consulted when run as a script — main() may
+    # be imported and called under another process's argv (e.g. pytest,
+    # whose argv[1] is a test directory, not a CSV).
     smoke = os.environ.get("BILD_SMOKE") == "1"
+    if csv_path is None and __name__ == "__main__" and len(sys.argv) > 1:
+        csv_path = sys.argv[1]
     # flagship 2-state (unlooped/looped) Rouse model, dual-color 3d readout
     model = bild.models.MultiStateRouse(8 if smoke else 20, D=1, k=5, d=3,
                                         localization_error=0.1)
 
-    if len(sys.argv) > 1:
-        trajs = bild.io.load_trajectories_csv(sys.argv[1], two_locus=True,
+    if csv_path is not None:
+        trajs = bild.io.load_trajectories_csv(csv_path, two_locus=True,
                                               localization_error=0.1)
-        print(f"loaded {len(trajs)} trajectories from {sys.argv[1]}")
+        print(f"loaded {len(trajs)} trajectories from {csv_path}")
     else:
         trajs = synthesize(model, B=6, T=24) if smoke else synthesize(model)
         print(f"synthesized {len(trajs)} trajectories")

@@ -79,6 +79,26 @@ def test_sample_batch_scout_refine():
     assert np.all(all_ref.best_k()[true_ks == 0] == 0)
 
 
+def test_sample_batch_scout_short_trajectory():
+    """A trajectory shorter than some k values forces non-finite scout
+    evidence for those (trajectory, k) lanes; the refine selection pads
+    them with duplicates of the best lane (the `bad` mask path). Results
+    must stay sane: -inf at unidentifiable k, finite elsewhere."""
+    model, trajs, _ = _factorized_batch(B=4, T=8)
+    # replace row 0 with a 3-frame trajectory padded into the 8-bucket
+    short = model.trajectory_from_loopingprofile(
+        np.zeros(3, dtype=int), key=jax.random.key(7))
+    batch = stack_trajectories([short] + trajs[1:])
+    res = sample_batch(model, batch, k_max=4, steps_per_k=6, N=30,
+                       scout_steps=2, refine_top=4, key=jax.random.key(3))
+    # k >= len(short)=3 is unidentifiable for row 0
+    assert np.all(np.isneginf(res.evidence[0, 3:]))
+    assert np.all(np.isfinite(res.evidence[0, :3]))
+    # the full-length rows keep finite evidence at every k < T
+    assert np.all(np.isfinite(res.evidence[1:, :5]))
+    assert res.best_k()[0] == 0
+
+
 def test_sample_batch_scout_checkpoint_incompatible(tmp_path):
     model, trajs, _ = _factorized_batch(B=2)
     batch = stack_trajectories(trajs)
