@@ -15,6 +15,7 @@ import numpy as np
 
 __all__ = ["fdtype", "idtype", "MATMUL_PRECISION",
            "rouse_kernel", "set_rouse_kernel",
+           "rouse_matmul", "set_rouse_matmul",
            "enable_compilation_cache"]
 
 # Precision for the small dense matmuls in the Kalman recursion. These are
@@ -43,6 +44,29 @@ def set_rouse_kernel(name: str) -> None:
     if name not in ("sym", "dense", "xla"):
         raise ValueError(f"unknown kernel {name!r}; use 'sym'|'dense'|'xla'")
     _ROUSE_KERNEL = name
+
+
+# Rouse-kernel matmul mode (float32 TPU compute only):
+#   'exact' (default) — Precision.HIGHEST dots (6 MXU passes); parity vs
+#       the f64 oracle at the plain f32-storage floor (~3e-6 relative),
+#       the BASELINE.md contract tier.
+#   'split' — split-bf16 3-pass covariance conjugation: +23% kernel
+#       throughput at a ~9e-6 parity floor (the bf16 pair carries 16
+#       mantissa bits). Right for production dataset runs where the AMIS
+#       evidence SEM (~0.01-0.1 nats) dwarfs the ~3e-3-nat logL error;
+#       wrong for parity validation. See DESIGN.md 7g.
+_ROUSE_MATMUL = "exact"
+
+
+def rouse_matmul() -> str:
+    return _ROUSE_MATMUL
+
+
+def set_rouse_matmul(mode: str) -> None:
+    global _ROUSE_MATMUL
+    if mode not in ("exact", "split"):
+        raise ValueError(f"rouse_matmul must be 'exact' or 'split', got {mode!r}")
+    _ROUSE_MATMUL = mode
 
 
 def enable_compilation_cache(path: str | None = None,

@@ -47,6 +47,17 @@ __all__ = ["msrouse_logL_pallas_sym", "sym_operators"]
 P_TILE = 128
 _KERNEL_PRECISION = jax.lax.Precision.HIGHEST
 
+# Split-bf16 covariance propagation (float32 compute only; opt-in via
+# `config.set_rouse_matmul('split')`). On TPU an f32 dot at
+# Precision.HIGHEST costs 6 MXU passes; splitting both operands into bf16
+# (hi, lo) pairs and summing three DEFAULT-precision products
+#   A.B ~ Ahi.Bhi + Ahi.Blo + Alo.Bhi      (f32 accumulation)
+# costs 3 passes. The bf16 PAIR carries 16 mantissa bits, so this mode's
+# parity floor vs the f64 oracle is ~9e-6 relative (measured; exact mode:
+# ~3e-6, the plain f32-storage floor — a 4th lo.lo pass does NOT recover
+# it, measured 7.9e-6, which is why no 4-pass mode exists). +23% kernel
+# throughput; see DESIGN.md 7g for when that trade is right.
+
 
 def _pack_indices(N):
     """Row/col index per packed slot, ordered (i, j) with i <= j."""
@@ -125,7 +136,8 @@ def sym_operators(Bs, Sigs, C0s, w, dtype):
 def _kernel(Pall_ref, sig_ref, c0_ref, Gw_ref, Ea_ref, Eb_ref,
             Bs_ref, Gs_ref, M0s_ref, w_ref, s2_ref,
             profT_ref, ydata_ref, valid_ref, out_ref,
-            c_scr, M_scr, acc_scr, *, n, N, d, q, T, PPp, Cind):
+            c_scr, M_scr, acc_scr, *, n, N, d, q, T, PPp, Cind,
+            split_bf16=False):
     fdt = out_ref.dtype
 
     w_row = w_ref[:]                      # (1, N)
@@ -195,6 +207,29 @@ def _kernel(Pall_ref, sig_ref, c0_ref, Gw_ref, Ea_ref, Eb_ref,
     # all states' mean propagators stacked: one GEMM instead of n
     BallN = jnp.concatenate([Bs_ref[s] for s in range(n)], axis=0)  # (n*N, N)
 
+    # split-bf16 operands for the dominant packed-conjugation GEMM (3 MXU
+    # passes instead of HIGHEST's 6; see module comment)
+    split = split_bf16 and fdt == jnp.float32
+    if split:
+        Pall_f = Pall_ref[:]
+        Pall_hi = Pall_f.astype(jnp.bfloat16)
+        Pall_lo = (Pall_f - Pall_hi.astype(fdt)).astype(jnp.bfloat16)
+
+    def prop_dot(c):
+        """(n*PPp, PPp) x (PPp, P) covariance-conjugation product."""
+        dn = (((1,), (0,)), ((), ()))
+        if not split:
+            return jax.lax.dot_general(Pall_ref[:], c, dn,
+                                       preferred_element_type=fdt,
+                                       precision=_KERNEL_PRECISION)
+        c_hi = c.astype(jnp.bfloat16)
+        c_lo = (c - c_hi.astype(fdt)).astype(jnp.bfloat16)
+
+        def dot(a, b):
+            return jax.lax.dot_general(a, b, dn, preferred_element_type=fdt)
+
+        return dot(Pall_hi, c_hi) + dot(Pall_hi, c_lo) + dot(Pall_lo, c_hi)
+
     @pl.when(valid_ref[0, 0] != 0)
     def _():
         kalman_update(0)
@@ -206,10 +241,7 @@ def _kernel(Pall_ref, sig_ref, c0_ref, Gw_ref, Ea_ref, Eb_ref,
         # packed covariance: c' = P_s c + sig_s, all states in ONE GEMM
         for qi in range(q):
             c = c_scr[qi]                                     # (PPp, P)
-            Pc_all = jax.lax.dot_general(
-                Pall_ref[:], c, (((1,), (0,)), ((), ())),
-                preferred_element_type=fdt,
-                precision=_KERNEL_PRECISION)                  # (n*PPp, P)
+            Pc_all = prop_dot(c)                              # (n*PPp, P)
             cp = ((Pc_all[0:PPp] + sig_ref[0][:, None]) * masks[0])
             for s in range(1, n):
                 cp = cp + ((Pc_all[s * PPp:(s + 1) * PPp]
@@ -240,10 +272,11 @@ def _kernel(Pall_ref, sig_ref, c0_ref, Gw_ref, Ea_ref, Eb_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("PPp", "Cind_static", "interpret"))
+                   static_argnames=("PPp", "Cind_static", "interpret",
+                                    "split_bf16"))
 def _pallas_call_sym(Pall, sig_pack, c0_pack, Gw, Ea, Eb,
                      Bs, Gs, M0s, w, s2, profiles, ydata, valid,
-                     PPp, Cind_static, interpret):
+                     PPp, Cind_static, interpret, split_bf16=False):
     n, N, _ = Bs.shape
     d = Gs.shape[2]
     fdt = Bs.dtype
@@ -263,7 +296,8 @@ def _pallas_call_sym(Pall, sig_pack, c0_pack, Gw, Ea, Eb,
     q = s2.shape[1]
 
     kernel = functools.partial(
-        _kernel, n=n, N=N, d=d, q=q, T=T, PPp=PPp, Cind=Cind_static)
+        _kernel, n=n, N=N, d=d, q=q, T=T, PPp=PPp, Cind=Cind_static,
+        split_bf16=split_bf16)
 
     grid = (P // P_TILE,)
 
@@ -342,8 +376,10 @@ def msrouse_logL_pallas_sym(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
     Cind_static = tuple(int(c) for c in np.asarray(Cind))
     (Pall, sig_pack, c0_pack, Gw, Ea, Eb), PPp = sym_operators(
         Bs, Sigs, C0s, w, jnp.asarray(Bs).dtype)
+    from ..config import rouse_matmul
     return _pallas_call_sym(Pall, sig_pack, c0_pack, Gw, Ea, Eb,
                             jnp.asarray(Bs), jnp.asarray(Gs),
                             jnp.asarray(M0s), w, s2,
                             profiles, ydata, valid,
-                            PPp, Cind_static, interpret)
+                            PPp, Cind_static, interpret,
+                            split_bf16=(rouse_matmul() == "split"))

@@ -68,3 +68,23 @@ def test_packed_operator_matches_dense_conjugation(rng):
         np.testing.assert_allclose(got, want, rtol=1e-10)
     # Gw c == C @ w
     np.testing.assert_allclose(Gw @ c, C @ np.asarray(model.w), rtol=1e-10)
+
+
+def test_rouse_matmul_knob(rng):
+    """The split-bf16 mode is opt-in, validated, and inert under x64 (it
+    requires float32 compute, so the CPU test path must stay exact)."""
+    import pytest
+    from bild_tpu import config
+
+    assert config.rouse_matmul() == "exact"
+    with pytest.raises(ValueError, match="rouse_matmul"):
+        config.set_rouse_matmul("bf16")
+    args = _case(rng, N=8, T=12, P=3, missing=())
+    want = np.asarray(msrouse_logL_pallas_sym(*args, interpret=True))
+    try:
+        config.set_rouse_matmul("split")
+        # x64 compute: the split branch is skipped, results stay exact
+        got = np.asarray(msrouse_logL_pallas_sym(*args, interpret=True))
+    finally:
+        config.set_rouse_matmul("exact")
+    np.testing.assert_allclose(got, want, rtol=1e-12)
