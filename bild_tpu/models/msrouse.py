@@ -14,7 +14,7 @@ import scipy.stats
 import jax
 import jax.numpy as jnp
 
-from ..config import fdtype, rouse_kernel, MATMUL_PRECISION
+from ..config import fdtype, rouse_kernel, rouse_matmul, MATMUL_PRECISION
 from ..physics.rouse import RouseModel
 from ..profiles import Loopingprofile
 from ..trajectory import Trajectory
@@ -208,7 +208,10 @@ class MultiStateRouse(MultiStateModel):
             raise ValueError("lockstep batch mode needs model.localization_error")
         if not hasattr(self, "_lockstep_fns_cache"):
             self._lockstep_fns_cache = {}
-        kname = rouse_kernel()
+        # key on BOTH kernel knobs: downstream runner caches (and their jits)
+        # key on this closure's identity, so a config change must produce a
+        # fresh closure or it would silently reuse the old compiled mode
+        kname = (rouse_kernel(), rouse_matmul())
         if kname not in self._lockstep_fns_cache:
             unique, Cind = np.unique(self.localization_error, return_inverse=True)
             s2 = jnp.asarray(unique**2, dtype=fdtype())
@@ -238,7 +241,8 @@ class MultiStateRouse(MultiStateModel):
         localization error may come from the trajectory itself. The returned
         ``logL_fn`` is cached per noise configuration so downstream jit
         caches (the fused AMIS step) stay warm across sampler instances."""
-        err_key = (tuple(self._get_noise(traj).tolist()), rouse_kernel())
+        err_key = (tuple(self._get_noise(traj).tolist()), rouse_kernel(),
+                   rouse_matmul())
         if not hasattr(self, "_single_fns"):
             self._single_fns = {}
         if err_key not in self._single_fns:
