@@ -272,18 +272,27 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="2,3,4,6,7")
     ap.add_argument("--out", default="PERF.json")
+    ap.add_argument("--matmul", default="exact", choices=("exact", "split"),
+                    help="Rouse-kernel matmul mode (config.set_rouse_matmul);"
+                         " 'split' is the +25%% throughput / 9e-6-parity"
+                         " production tier (DESIGN.md 7g)")
     args = ap.parse_args()
 
-    from bild_tpu.config import enable_compilation_cache
+    from bild_tpu.config import enable_compilation_cache, set_rouse_matmul
     enable_compilation_cache()
+    set_rouse_matmul(args.matmul)
+    suffix = "" if args.matmul == "exact" else "_split"
 
     runners = {2: config2, 3: config3, 4: config4, 5: config5, 6: config6,
                7: config7}
     results = {}
     for c in [int(x) for x in args.configs.split(",")]:
-        print(f"== config {c} ==", flush=True)
-        results[str(c)] = runners[c]()
-        print(json.dumps(results[str(c)]), flush=True)
+        print(f"== config {c}{suffix} ==", flush=True)
+        r = runners[c]()
+        if suffix:
+            r["matmul"] = args.matmul
+        results[str(c) + suffix] = r
+        print(json.dumps(r), flush=True)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
