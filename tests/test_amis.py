@@ -1,5 +1,6 @@
 """AMIS layer tests (mirrors reference tests/test_amis.py)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy import stats
@@ -200,6 +201,7 @@ class TestFixedkSampler:
         logev, dlogev, KL = sampler.evidences[-1]
         assert abs(logev - logev_exact) < max(5 * dlogev, 0.1)
 
+    @pytest.mark.slow
     def test_steps_batched_matches_stepwise(self):
         # steps(n) must sample identically to n sequential step() calls
         # (same PRNG split sequence inside the fused loop)

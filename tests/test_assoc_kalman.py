@@ -1,5 +1,6 @@
 """Temporal-parallel Kalman parity vs the sequential kernel (f64)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -16,6 +17,7 @@ def _args(model, traj, profiles):
             traj.data, traj.valid)
 
 
+@pytest.mark.slow
 def test_assoc_parity(rng):
     model = MultiStateRouse(10, 1.0, 4.0, d=3, localization_error=[0.1, 0.2, 0.1])
     T = 64
@@ -30,6 +32,7 @@ def test_assoc_parity(rng):
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_assoc_parity_long(rng):
     model = MultiStateRouse(8, 1.0, 3.0, d=1, localization_error=0.2)
     T = 500
@@ -42,6 +45,7 @@ def test_assoc_parity_long(rng):
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_time_sharded_mesh_parity(rng):
     # the stated regime of the assoc filter: frames sharded across a mesh
     # (virtual 8-CPU here); parity vs the sequential batched kernel

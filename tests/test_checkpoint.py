@@ -1,5 +1,6 @@
 """Checkpoint round-trip: save, load, continue sampling."""
 import numpy as np
+import pytest
 import jax
 from scipy import stats as sp_stats
 
@@ -9,6 +10,7 @@ from bild_tpu.models import FactorizedModel
 from bild_tpu.utils import save_results, load_results
 
 
+@pytest.mark.slow
 def test_roundtrip(tmp_path):
     traj = Trajectory.create(np.array([0.1, 0.05, 6, 3, 4, 0.01, 5, 7]))
     model = FactorizedModel([sp_stats.maxwell(scale=0.1),

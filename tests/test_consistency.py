@@ -2,6 +2,7 @@
 runner, and exhaustive enumeration must agree on evidences and conclusions
 for the same data."""
 import numpy as np
+import pytest
 import jax
 from scipy import stats as sp_stats
 
@@ -12,6 +13,7 @@ from bild_tpu.models import FactorizedModel
 from bild_tpu.parallel import stack_trajectories, sample_batch
 
 
+@pytest.mark.slow
 def test_lockstep_matches_exhaustive_evidence():
     # T=8 trajectory: k <= 2 spaces are exhaustively enumerable -> exact
     # evidences to compare the lockstep AMIS estimates against
@@ -34,6 +36,7 @@ def test_lockstep_matches_exhaustive_evidence():
             k, res.evidence[0, k], exact[k])
 
 
+@pytest.mark.slow
 def test_adaptive_and_lockstep_agree_on_best_k():
     model = FactorizedModel([sp_stats.maxwell(scale=0.1),
                              sp_stats.maxwell(scale=1)], d=1)

@@ -1,6 +1,7 @@
 """End-to-end inference tests (mirrors reference tests/test_bild.py TestCore /
 TestPostproc) plus stats coverage the reference lacks."""
 import numpy as np
+import pytest
 import jax
 from scipy import stats as sp_stats
 from conftest import logsumexp_safe as logsumexp
@@ -18,6 +19,7 @@ def _setup():
 
 
 class TestSample:
+    @pytest.mark.slow
     def test_sample(self):
         traj, model = _setup()
         for seed in range(3):
@@ -36,6 +38,7 @@ class TestSample:
             np.testing.assert_array_almost_equal(
                 logsumexp(logpost, axis=0), np.zeros(logpost.shape[1]), decimal=6)
 
+    @pytest.mark.slow
     def test_sample_long_lookahead(self):
         traj, model = _setup()
         res = bild.sample(traj, model,
@@ -48,6 +51,7 @@ class TestSample:
             np.testing.assert_array_almost_equal(
                 logsumexp(logpost, axis=0), np.zeros(logpost.shape[1]), decimal=6)
 
+    @pytest.mark.slow
     def test_sample_reproducible_from_key(self):
         # the key seeds device-side sampling AND the host-side choice RNG
         traj, model = _setup()
@@ -61,6 +65,7 @@ class TestSample:
         np.testing.assert_array_equal(res_a.best_profile()[:],
                                       res_b.best_profile()[:])
 
+    @pytest.mark.slow
     def test_sample_small_kmax(self):
         traj, model = _setup()
         res = bild.sample(traj, model,

@@ -5,6 +5,8 @@ import os
 import numpy as np
 import jax
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy integration lane
 from scipy import stats as sp_stats
 
 from bild_tpu.models import FactorizedModel

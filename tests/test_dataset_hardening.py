@@ -3,6 +3,8 @@ non-divisible B, per-k checkpoint/resume, vectorized informed init, strict
 shard_batch."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy integration lane
 import jax
 import jax.numpy as jnp
 

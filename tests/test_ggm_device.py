@@ -2,6 +2,7 @@
 lockstep hooks and full inference. The oracle is the straight blockwise
 algorithm of reference bild/models.py:608-661."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -29,6 +30,7 @@ class TestStationaryFastPath:
         Vslow = np.asarray(model._bucketed_tables_batch(data, valid))
         np.testing.assert_allclose(Vfast, Vslow, atol=1e-9)
 
+    @pytest.mark.slow
     def test_dispatcher_merges_gap_rows(self, rng):
         model = _mixed_model()
         B, T = 3, 17
@@ -53,6 +55,7 @@ class TestSegmentHooks:
         guess = np.asarray(model.initial_loopingprofile(traj)[:])
         assert np.mean(guess == true) > 0.8
 
+    @pytest.mark.slow
     def test_informed_init_paths(self, rng):
         from bild_tpu.parallel import sample_batch, stack_trajectories
         model = _mixed_model()
@@ -139,6 +142,7 @@ class TestLockstep:
 
 
 class TestGGMInference:
+    @pytest.mark.slow
     def test_sample_end_to_end(self, rng):
         # full adaptive inference with GGM as the model (device path +
         # fused sampler step via lockstep_fns_single)
@@ -161,6 +165,7 @@ class TestGGMInference:
 
 
 class TestGGMDataset:
+    @pytest.mark.slow
     def test_sample_batch_with_ggm(self, rng):
         # GGM is now lockstep-capable: dataset mode end-to-end
         from bild_tpu.parallel import sample_batch, stack_trajectories
@@ -257,6 +262,7 @@ class TestBandedTables:
         with _pytest.raises(ValueError, match="gap-free"):
             banded.logL(truth, traj)
 
+    @pytest.mark.slow
     def test_lockstep_banded(self, rng):
         from bild_tpu.parallel import sample_batch, stack_trajectories
         T, band = 96, 32

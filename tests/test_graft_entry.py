@@ -3,6 +3,7 @@ virtual 8-device mesh."""
 import sys
 
 import numpy as np
+import pytest
 import jax
 
 sys.path.insert(0, "/root/repo")
@@ -18,10 +19,12 @@ def test_entry_compiles_and_runs():
     assert np.all(np.isfinite(out))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     assert len(jax.devices()) == 8
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_4():
     graft.dryrun_multichip(4)

@@ -2,6 +2,7 @@
 unpadded computation restricted to the active slots, and padded samplers
 must reproduce exact-k evidences."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy import stats
@@ -57,6 +58,7 @@ def test_masked_dirichlet_sample(rng):
                                np.array([2, 1, 0.5]) / 3.5, atol=0.03)
 
 
+@pytest.mark.slow
 def test_masked_cfc_matches_sliced(rng):
     active, a, ss, th, logp, lw, trans, cfc, k, n = _padded_case(rng)
     got = np.asarray(cfc_logpmf(jnp.asarray(logp), jnp.asarray(th),
@@ -87,6 +89,7 @@ class TestPaddedSampler:
         self.model = FactorizedModel([stats.maxwell(scale=0.1),
                                       stats.maxwell(scale=1.0)])
 
+    @pytest.mark.slow
     def test_padded_matches_exact_evidence(self):
         for k in (2, 3):
             exact = FixedkSampler(self.traj, self.model, k=k, max_fcomplete=0,
@@ -106,6 +109,7 @@ class TestPaddedSampler:
             lL_p = self.model.logL(padded.MAP_profile(), self.traj)
             assert abs(lL_e - lL_p) < 2.0, (k, lL_e, lL_p)
 
+    @pytest.mark.slow
     def test_padded_posterior_normalized(self):
         from scipy.special import logsumexp
 

@@ -3,7 +3,10 @@
 parallelism inventory)."""
 import numpy as np
 import jax
+import pytest
 from scipy import stats as sp_stats
+
+pytestmark = pytest.mark.slow  # heavy integration lane
 
 import bild_tpu as bild
 from bild_tpu.models import FactorizedModel, MultiStateRouse
@@ -102,7 +105,6 @@ def test_sample_batch_scout_short_trajectory():
 def test_sample_batch_scout_checkpoint_incompatible(tmp_path):
     model, trajs, _ = _factorized_batch(B=2)
     batch = stack_trajectories(trajs)
-    import pytest
     with pytest.raises(ValueError, match="scout_steps"):
         sample_batch(model, batch, k_max=2, steps_per_k=4, N=10,
                      scout_steps=2, checkpoint=str(tmp_path / "ck.npz"),

@@ -1,5 +1,6 @@
 """Unit tests for profiles (mirrors reference tests/test_bild.py:51-121)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import bild_tpu as bild
@@ -82,6 +83,7 @@ class TestSt2Profile:
         prof = st2profile(jnp.array([1.0]), jnp.array([2]), T=5)
         np.testing.assert_array_equal(np.asarray(prof), [2, 2, 2, 2, 2])
 
+    @pytest.mark.slow
     def test_matches_sequential_reference_algorithm(self, rng):
         # floor-based discretization, sequential overwrite semantics
         # (reference bild/amis.py:670-695)

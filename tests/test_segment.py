@@ -2,6 +2,7 @@
 import itertools
 
 import numpy as np
+import pytest
 import jax
 
 import bild_tpu as bild
@@ -47,6 +48,7 @@ def test_dp_segment_infeasible():
     assert prof is None and score == -np.inf
 
 
+@pytest.mark.slow
 def test_segment_guess_models(rng):
     model = MultiStateRouse(10, 1, 5, d=1, localization_error=0.2)
     true = np.zeros(50, dtype=int)
@@ -70,6 +72,7 @@ def test_segment_guess_models(rng):
     np.testing.assert_allclose(np.sum(fracs), 1.0)
 
 
+@pytest.mark.slow
 def test_informed_init_improves_long_T():
     model = MultiStateRouse(10, 1, 5, d=1, localization_error=0.1)
     T, B = 300, 4
@@ -86,6 +89,7 @@ def test_informed_init_improves_long_T():
     assert acc_i > 0.95
 
 
+@pytest.mark.slow
 def test_informed_init_adaptive():
     from bild_tpu.amis import FixedkSampler
     model = MultiStateRouse(10, 1, 5, d=1, localization_error=0.1)
