@@ -21,9 +21,48 @@ Prints ONE JSON line:
    "vs_baseline": ...}
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def supervised_main(attempts=(480, 480, 900)):
+    """
+    Re-exec the benchmark in a child process with per-attempt timeouts.
+
+    The axon remote-TPU plugin intermittently hangs a NEW process's first
+    device operation (the process blocks at 0% CPU before any compile,
+    ~50% of cold starts in this environment); the reliable remedy is to
+    kill and relaunch the same script. This wrapper automates that: each
+    attempt runs the real benchmark; a hung attempt is killed at its
+    timeout and retried. Output/semantics are unchanged — the child's one
+    JSON line is reprinted verbatim; if every attempt fails, exit 1 with
+    the last stderr tail (an honest failure, never a fabricated number).
+    """
+    last_err = ""
+    for timeout_s in attempts:
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "BILD_BENCH_CHILD": "1"},
+                timeout=timeout_s, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt timed out after {timeout_s}s (axon init hang?)"
+            print(last_err, file=sys.stderr, flush=True)
+            continue
+        lines = [l for l in p.stdout.strip().splitlines() if l.strip()]
+        if p.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        last_err = p.stderr[-2000:]
+        print(f"bench child rc={p.returncode}; retrying", file=sys.stderr,
+              flush=True)
+    print(f"bench failed after {len(attempts)} attempts: {last_err}",
+          file=sys.stderr)
+    return 1
 
 
 def main():
@@ -100,4 +139,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BILD_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(supervised_main())
