@@ -1,0 +1,94 @@
+"""CLI entry point (`python -m bild_tpu`): end-to-end on a tiny CSV.
+
+The reference is library-only; the CLI is this package's batteries-included
+dataset path, so it gets the same in-process integration treatment as
+`sample_dataset` (`tests/test_dataset_driver.py`) — argument parsing,
+loading, inference, npz output, and checkpoint-rerun identity.
+"""
+import numpy as np
+import jax
+import pytest
+
+from bild_tpu.__main__ import build_parser, main
+from bild_tpu.models import MultiStateRouse
+
+
+def _write_csv(path, trajs):
+    with open(path, "w") as f:
+        f.write("traj_id,frame,v0\n")
+        for tid, traj in enumerate(trajs):
+            data = np.asarray(traj.data)
+            valid = np.asarray(traj.valid)
+            for t in range(len(traj)):
+                if valid[t]:
+                    f.write(f"{tid},{t},{data[t, 0]:.6f}\n")
+
+
+@pytest.fixture(scope="module")
+def tiny_csv(tmp_path_factory):
+    model = MultiStateRouse(8, 1.0, 4.0, d=1, localization_error=0.15)
+    trajs = []
+    for i, k_true in enumerate([0, 1, 0]):
+        prof = np.zeros(16, dtype=int)
+        if k_true:
+            prof[8:] = 1
+        trajs.append(model.trajectory_from_loopingprofile(
+            prof, key=jax.random.key(100 + i)))
+    path = tmp_path_factory.mktemp("cli") / "tiny.csv"
+    _write_csv(path, trajs)
+    return str(path)
+
+
+def test_parser_defaults():
+    args = build_parser().parse_args(["data.csv"])
+    assert args.out == "bild_results.npz"
+    assert args.k_max == 10 and args.monomers == 20
+    assert not args.two_locus and not args.marginals
+
+
+CLI_FAST = ["--monomers", "8", "--k-max", "2", "--steps-per-k", "4",
+            "--proposals", "16", "--scout-steps", "0",
+            "--localization-error", "0.15", "--chunk-size", "4", "--quiet"]
+
+
+def test_cli_end_to_end(tiny_csv, tmp_path):
+    out = str(tmp_path / "res.npz")
+    rc = main([tiny_csv, "--out", out, *CLI_FAST,
+               "--marginals", "--optimize-boundaries"])
+    assert rc == 0
+    res = np.load(out, allow_pickle=True)
+    assert res["evidence"].shape == (3, 3)          # (B, k_max+1)
+    assert res["best_k"].shape == (3,)
+    assert list(res["lengths"]) == [16, 16, 16]
+    profiles = res["best_profiles"]
+    assert all(p.shape == (16,) for p in profiles)
+    lmp = res["log_marginal_posterior"]
+    assert all(m.shape == (2, 16) for m in lmp)      # (n_states, T)
+    # marginal posterior columns normalize
+    np.testing.assert_allclose(
+        np.exp(lmp[0].astype(float)).sum(axis=0), 1.0, rtol=1e-5)
+    assert res["optimized_profiles"][0].shape == (16,)
+
+
+def test_cli_checkpoint_rerun_identical(tiny_csv, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "r1.npz")
+    out2 = str(tmp_path / "r2.npz")
+    rc = main([tiny_csv, "--out", out1, *CLI_FAST,
+               "--checkpoint-dir", ckpt])
+    assert rc == 0
+    # rerun resumes every chunk from the checkpoint -> identical output
+    rc = main([tiny_csv, "--out", out2, *CLI_FAST,
+               "--checkpoint-dir", ckpt])
+    assert rc == 0
+    a, b = np.load(out1, allow_pickle=True), np.load(out2, allow_pickle=True)
+    np.testing.assert_array_equal(a["evidence"], b["evidence"])
+    np.testing.assert_array_equal(a["best_k"], b["best_k"])
+
+
+def test_cli_empty_input_fails_cleanly(tmp_path, capsys):
+    path = tmp_path / "empty.csv"
+    path.write_text("traj_id,frame,v0\n")
+    rc = main([str(path), "--quiet"])
+    assert rc == 1
+    assert "no trajectories" in capsys.readouterr().err
