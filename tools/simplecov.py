@@ -71,8 +71,26 @@ def _executable_lines(path):
     return lines
 
 
-def report(out=sys.stdout):
-    """Per-file and total coverage for every .py under the package dir."""
+def _ranges(lines):
+    """Condense sorted line numbers to 'a-b, c, d-e' notation."""
+    out = []
+    lines = sorted(lines)
+    i = 0
+    while i < len(lines):
+        j = i
+        while j + 1 < len(lines) and lines[j + 1] == lines[j] + 1:
+            j += 1
+        out.append(str(lines[i]) if i == j else f"{lines[i]}-{lines[j]}")
+        i = j + 1
+    return ", ".join(out)
+
+
+def report(out=sys.stdout, show_missing=False):
+    """Per-file and total coverage for every .py under the package dir.
+
+    ``show_missing`` appends the uncovered line ranges per file (the
+    ``coverage report -m`` analog); also enabled via ``COV_MISSING=1``.
+    """
     rows = []
     for root, _dirs, files in os.walk(_prefix):
         if "__pycache__" in root:
@@ -85,7 +103,8 @@ def report(out=sys.stdout):
             if not exe:
                 continue
             hit = _executed.get(path, set()) & exe
-            rows.append((os.path.relpath(path), len(hit), len(exe)))
+            rows.append((os.path.relpath(path), len(hit), len(exe),
+                         exe - hit))
     if not rows:
         print("simplecov: no data collected", file=out)
         return
@@ -94,11 +113,13 @@ def report(out=sys.stdout):
           file=out)
     print("-" * (width + 22), file=out)
     tot_h = tot_e = 0
-    for name, h, e in rows:
+    for name, h, e, missed in rows:
         tot_h += h
         tot_e += e
         print(f"{name:{width}}  {e:>6} {e - h:>6} {100 * h / e:>5.0f}%",
               file=out)
+        if show_missing and missed:
+            print(f"{'':{width}}    missing: {_ranges(missed)}", file=out)
     print("-" * (width + 22), file=out)
     print(f"{'TOTAL':{width}}  {tot_e:>6} {tot_e - tot_h:>6} "
           f"{100 * tot_h / tot_e:>5.0f}%", file=out)
@@ -109,8 +130,9 @@ def _report_at_exit():
     # report to a file and best-effort echo it to the real stderr
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(here, "COVERAGE.txt")
+    show_missing = os.environ.get("COV_MISSING") not in (None, "", "0")
     with open(path, "w") as f:
-        report(out=f)
+        report(out=f, show_missing=show_missing)
     try:
         with open(path) as f:
             sys.__stderr__.write(f.read())
