@@ -51,11 +51,14 @@ def test_sym_out_of_range_states_yield_nan(rng):
 
 
 def test_packed_operator_matches_dense_conjugation(rng):
-    """P_s c == pack(B C B^T) for random symmetric C."""
+    """P_s c == pack(B C B^T) for random symmetric C, and the merged
+    update operator's sections recover Cw, S, and the rank-1 factors."""
     model = MultiStateRouse(9, 1.0, 4.0, d=1, localization_error=0.2)
-    Pall, sig, c0, Gw, Ea, Eb, PPp = _build_sym_operators(
-        model.Bs, model.Sigs, model.C0s, model.w)
+    (Pall, sig, c0, U, Ballw, Gsw, M0w, PPp,
+     (S_OFF, A_OFF, B_OFF, N1p)) = _build_sym_operators(
+        model.Bs, model.Gs, model.Sigs, model.M0s, model.C0s, model.w)
     n, N, _ = np.asarray(model.Bs).shape
+    w = np.asarray(model.w)
     ia, ja = np.triu_indices(N)
     A = rng.normal(size=(N, N))
     C = A @ A.T
@@ -66,8 +69,16 @@ def test_packed_operator_matches_dense_conjugation(rng):
         want = (B[s] @ C @ B[s].T)[ia, ja]
         got = (Pall[s * PPp:(s + 1) * PPp] @ c)[: len(ia)]
         np.testing.assert_allclose(got, want, rtol=1e-10)
-    # Gw c == C @ w
-    np.testing.assert_allclose(Gw @ c, C @ np.asarray(model.w), rtol=1e-10)
+    # merged update operator: R = U c sections
+    R = U @ c
+    Cw = C @ w
+    np.testing.assert_allclose(R[:N], Cw, rtol=1e-10)          # Gw c == C w
+    np.testing.assert_allclose(R[S_OFF], w @ Cw, rtol=1e-10)   # S row
+    np.testing.assert_allclose(R[A_OFF:A_OFF + len(ia)], Cw[ia], rtol=1e-10)
+    np.testing.assert_allclose(R[B_OFF:B_OFF + len(ia)], Cw[ja], rtol=1e-10)
+    # mean propagator carries w.B_s as row N of each state block
+    for s in range(n):
+        np.testing.assert_allclose(Ballw[s * N1p + N], w @ B[s], rtol=1e-12)
 
 
 def test_rouse_matmul_knob(rng):
@@ -88,3 +99,27 @@ def test_rouse_matmul_knob(rng):
     finally:
         config.set_rouse_matmul("exact")
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_sym_large_N_falls_back_to_dense(rng, monkeypatch):
+    """Chains whose packed operators exceed the VMEM budget must route to
+    the dense Pallas kernel automatically (same values, no overflow)."""
+    import bild_tpu.ops.kalman_sym as ks
+
+    args = _case(rng, N=10, d=1, T=10, P=3, locerr=(0.2,), missing=())
+    want = np.asarray(msrouse_logL_pallas_sym(*args, interpret=True))
+
+    calls = {}
+    from bild_tpu.ops.kalman_pallas import msrouse_logL_pallas as dense
+
+    def spy(*a, **kw):
+        calls["dense"] = True
+        return dense(*a, **kw)
+
+    import bild_tpu.ops.kalman_pallas as kp
+    monkeypatch.setattr(kp, "msrouse_logL_pallas", spy)
+    # shrink the budget so N=10 overflows it
+    monkeypatch.setattr(ks, "_SYM_VMEM_LIMIT", 1024)
+    got = np.asarray(msrouse_logL_pallas_sym(*args, interpret=True))
+    assert calls.get("dense"), "dense fallback was not taken"
+    np.testing.assert_allclose(got, want, rtol=1e-9)
