@@ -199,8 +199,6 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
       `AmisState` and PRNG carry key per (k, trajectory) lane, so the refine
       phase can WARM-START from the scout ensemble instead of rerunning from
       scratch (buffer size ``S`` > ``steps`` run).
-    - ``per_traj_k``: vmap over trajectories with a per-trajectory k
-      (active/logprior axis 0) — refine from scratch (kept for parity tests).
     - ``resume``: continue gathered scout states for ``steps - start`` more
       AMIS steps (per-trajectory k); summaries span the FULL ``steps``-step
       ensemble, bit-identical to a straight ``steps``-step run with the same
@@ -288,9 +286,6 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
         runner = jax.jit(jax.vmap(
             run_one,
             in_axes=(0, 0, None, 0, 0, 0, 0, 0, None, None, None, None)))
-    elif variant == "per_traj_k":
-        runner = jax.jit(jax.vmap(
-            run_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0, 0, 0, None, None)))
     elif variant in ("fused", "fused_scout"):
         over_B = jax.vmap(
             run_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0, None, None, None, None))

@@ -157,3 +157,21 @@ def test_sample_batch_rouse():
     assert np.all(np.isfinite(res.evidence))
     # constant trajectories prefer k=0
     assert np.all(res.best_k()[[0, 2]] == 0)
+
+
+def test_sample_batch_k_exceeding_T_is_skipped():
+    """k >= T samplers short-circuit to -inf evidence (reference degeneracy
+    guard, `bild/amis.py:641-648`) inside the lockstep driver too."""
+    from bild_tpu.parallel import sample_batch, stack_trajectories
+
+    model = FactorizedModel([sp_stats.maxwell(scale=0.1),
+                             sp_stats.maxwell(scale=1)], d=1)
+    trajs = [model.trajectory_from_loopingprofile(
+        np.zeros(4, dtype=int), key=jax.random.key(i)) for i in range(3)]
+    batch = stack_trajectories(trajs)
+    res = sample_batch(model, batch, k_max=5, steps_per_k=3, N=8,
+                       informed_init=False, key=jax.random.key(1))
+    assert res.evidence.shape == (3, 6)
+    # k = 4, 5 >= T = 4: impossible switch counts are -inf, never the best
+    assert np.all(np.isneginf(res.evidence[:, 4:]))
+    assert np.all(res.best_k() < 4)
