@@ -149,3 +149,28 @@ class TestStats:
         m, lo, hi = bild.stats.MLE_censored_exponential(data, censored)
         assert lo < m < hi
         assert abs(m - true_mean) < 0.3
+
+
+def test_sample_keyboard_interrupt_returns_partial_results(monkeypatch):
+    """Manual interruption mid-inference still returns a valid (partial)
+    SamplingResults — reference behavior `bild/core.py:231-236`."""
+    from bild_tpu.amis import sampler as sampler_mod
+
+    traj, model = _setup()
+    calls = {"n": 0}
+    real_steps = sampler_mod.FixedkSampler.steps
+
+    def interrupting_steps(self, n):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise KeyboardInterrupt
+        return real_steps(self, n)
+
+    monkeypatch.setattr(sampler_mod.FixedkSampler, "steps",
+                        interrupting_steps)
+    res = bild.sample(traj, model, init_runs=2, key=jax.random.key(11))
+    assert calls["n"] > 3                       # the interrupt fired
+    assert len(res.k) >= 1                      # partial samplers retained
+    assert np.isfinite(res.evidence).any()
+    prof = res.best_profile()                   # usable results
+    assert len(prof) == len(traj)
