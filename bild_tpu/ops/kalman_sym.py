@@ -15,15 +15,32 @@ This kernel exploits that the covariance is SYMMETRIC: it carries only the
 precomputed per model state on the host (float64, cast to the compute
 dtype). The single GEMM has contraction dimension PP ~ 210 — well matched
 to the MXU — no transpose, and ~half the select/broadcast VPU traffic of
-the dense form. The Kalman measurement update stays in packed space too:
+the dense form.
 
-    Cw = Gw c            (Gw (N, PP) built from the measurement vector w)
-    S  = w . Cw + s2,  K = Cw / S
-    c' = c - (Ea Cw) * (Eb Cw) / S      (packed rank-1 downdate)
+The Kalman measurement update stays in packed space AND issues a single
+MXU dot. With ``Gw (N, PP)`` built from the measurement vector w
+(``Cw = Gw c``) and Ea/Eb one-hot selectors of each packed entry's
+row/column index, the update needs Cw, the innovation variance
+``S = w.Cw + s2``, and the packed rank-1 downdate factors ``Ea Cw`` /
+``Eb Cw`` — four dependent products in the naive form. All four are linear
+in c, so they fuse into one host-precomputed operator
 
-with Ea/Eb (PP, N) one-hot selectors of each packed entry's row/column
-index. Mean propagation and the log-likelihood accumulation are unchanged
-from `kalman_pallas.py`.
+    U = [Gw; w.Gw; Ea Gw; Eb Gw]   (8-aligned row sections)
+
+and the whole update reads off one GEMM ``R = U c``:
+
+    S  = R[S_OFF] + s2,  K = R[:N] / S
+    c' = c - R[A_OFF:A_OFF+PP] * R[B_OFF:B_OFF+PP] / S
+
+The gather sections are one-hot ROW SELECTIONS of Gw performed exactly in
+f64 on host, so ``(Ea Gw) c`` is bit-identical to ``Ea (Gw c)``; only the
+S row changes summation grouping (~1 ulp). Likewise the predicted
+measurement mean ``m = w.M'`` is folded into the mean-propagation GEMM as
+an extra ``w.B_s`` row per state (blocks padded to 8 sublanes), removing
+the last per-frame small dot. Per frame the kernel now issues exactly
+three MXU dots — covariance propagation, mean propagation, merged update —
+instead of six, which removes most of the dependent-issue pipeline drain
+that dominated the non-MXU time.
 
 Semantics identical to `kalman.msrouse_logL_batch` (reference algorithm:
 ``bild/src/MSRouse_logL.pyx:95-256``); parity is tested against the f64
@@ -45,6 +62,9 @@ LOG_2PI = float(np.log(2.0 * np.pi))
 __all__ = ["msrouse_logL_pallas_sym", "sym_operators"]
 
 P_TILE = 128
+# frames per fori_loop step (manual unroll; `unroll=` on the loop itself
+# hits a Mosaic lowering bug on this JAX version)
+_SYM_UNROLL = 1
 _KERNEL_PRECISION = jax.lax.Precision.HIGHEST
 
 # Split-bf16 covariance propagation (float32 compute only; opt-in via
@@ -65,20 +85,25 @@ def _pack_indices(N):
     return ia, ja
 
 
-def _build_sym_operators(Bs, Sigs, C0s, w, pad=8):
+def _build_sym_operators(Bs, Gs, Sigs, M0s, C0s, w, pad=8):
     """
     Host-side (numpy, float64) construction of the packed-space operators.
 
     Returns ``(Pall (n*PPp, PPp), sig_pack (n, PPp), c0_pack (n, PPp),
-    Gw (N, PPp), Ea (PPp, N), Eb (PPp, N), PPp)`` with ``PPp`` = PP padded
-    to a multiple of ``pad`` (zero padding is exact: padded slots stay 0
-    through propagation and never enter Cw).
+    U (URows, PPp), Ballw (n*N1p, N), Gsw (n, N1p, d), M0w (n, N1p, d),
+    PPp, offsets)`` with ``PPp`` = PP padded to a multiple of ``pad``
+    (zero padding is exact: padded slots stay 0 through propagation and
+    never enter Cw), ``offsets = (S_OFF, A_OFF, B_OFF, N1p)`` the 8-aligned
+    row sections of U and the per-state row stride of the mean propagator.
     """
     Bs = np.asarray(Bs, dtype=np.float64)
+    Gs = np.asarray(Gs, dtype=np.float64)
     Sigs = np.asarray(Sigs, dtype=np.float64)
+    M0s = np.asarray(M0s, dtype=np.float64)
     C0s = np.asarray(C0s, dtype=np.float64)
     w = np.asarray(w, dtype=np.float64)
     n, N, _ = Bs.shape
+    d = Gs.shape[2]
     ia, ja = _pack_indices(N)
     PP = len(ia)
     PPp = -(-PP // pad) * pad
@@ -106,11 +131,32 @@ def _build_sym_operators(Bs, Sigs, C0s, w, pad=8):
         if a != b:
             Gw[b, p] += w[a]
 
-    Ea = np.zeros((PPp, N))
-    Eb = np.zeros((PPp, N))
-    Ea[np.arange(PP), ia] = 1.0
-    Eb[np.arange(PP), ja] = 1.0
-    return Pall, sig_pack, c0_pack, Gw, Ea, Eb, PPp
+    # merged update operator U = [Cw rows; S row; EaGw rows; EbGw rows]
+    S_OFF = -(-N // pad) * pad
+    A_OFF = S_OFF + pad
+    B_OFF = A_OFF + PPp
+    URows = B_OFF + PPp
+    U = np.zeros((URows, PPp))
+    U[:N] = Gw
+    U[S_OFF] = w @ Gw
+    U[A_OFF:A_OFF + PP] = Gw[ia]       # row p = Gw[ia[p]], exact selection
+    U[B_OFF:B_OFF + PP] = Gw[ja]
+
+    # mean propagator with a w.B_s row per state (m = w.M' for free);
+    # per-state blocks padded to N1p sublanes for aligned slicing
+    N1p = -(-(N + 1) // pad) * pad
+    Ballw = np.zeros((n * N1p, N))
+    Gsw = np.zeros((n, N1p, d))
+    M0w = np.zeros((n, N1p, d))
+    for s in range(n):
+        Ballw[s * N1p:s * N1p + N] = Bs[s]
+        Ballw[s * N1p + N] = w @ Bs[s]
+        Gsw[s, :N] = Gs[s]
+        Gsw[s, N] = w @ Gs[s]
+        M0w[s, :N] = M0s[s]
+        M0w[s, N] = w @ M0s[s]
+    return (Pall, sig_pack, c0_pack, U, Ballw, Gsw, M0w, PPp,
+            (S_OFF, A_OFF, B_OFF, N1p))
 
 
 # host-side operator cache: keyed by the byte content of the (small) model
@@ -119,28 +165,27 @@ _SYM_OPS_CACHE = {}
 _SYM_OPS_CACHE_MAX = 16
 
 
-def sym_operators(Bs, Sigs, C0s, w, dtype):
-    key = tuple(np.asarray(x).tobytes() for x in (Bs, Sigs, C0s, w))
+def sym_operators(Bs, Gs, Sigs, M0s, C0s, w, dtype):
+    key = tuple(np.asarray(x).tobytes()
+                for x in (Bs, Gs, Sigs, M0s, C0s, w))
     hit = _SYM_OPS_CACHE.pop(key, None)
     if hit is not None:
         _SYM_OPS_CACHE[key] = hit        # refresh recency
     else:
         while len(_SYM_OPS_CACHE) >= _SYM_OPS_CACHE_MAX:
             _SYM_OPS_CACHE.pop(next(iter(_SYM_OPS_CACHE)))
-        hit = _build_sym_operators(Bs, Sigs, C0s, w)
+        hit = _build_sym_operators(Bs, Gs, Sigs, M0s, C0s, w)
         _SYM_OPS_CACHE[key] = hit
-    *ops, PPp = hit
-    return [jnp.asarray(o, dtype=dtype) for o in ops], PPp
+    *ops, PPp, offs = hit
+    return [jnp.asarray(o, dtype=dtype) for o in ops], PPp, offs
 
 
-def _kernel(Pall_ref, sig_ref, c0_ref, Gw_ref, Ea_ref, Eb_ref,
-            Bs_ref, Gs_ref, M0s_ref, w_ref, s2_ref,
-            profT_ref, ydata_ref, valid_ref, out_ref,
-            c_scr, M_scr, acc_scr, *, n, N, d, q, T, PPp, Cind,
-            split_bf16=False):
+def _kernel(Pall_ref, sig_ref, c0_ref, U_ref, Ballw_ref, Gsw_ref, M0w_ref,
+            s2_ref, profT_ref, ydata_ref, valid_ref, out_ref,
+            c_scr, M_scr, acc_scr, *, n, N, d, q, T, PPp, offs, Cind,
+            split_bf16=False, unroll=_SYM_UNROLL, p_tile=P_TILE):
     fdt = out_ref.dtype
-
-    w_row = w_ref[:]                      # (1, N)
+    S_OFF, A_OFF, B_OFF, N1p = offs
 
     def masks_for(t):
         prof_t = profT_ref[pl.ds(t, 1), :]          # (1, P) int32
@@ -151,61 +196,16 @@ def _kernel(Pall_ref, sig_ref, c0_ref, Gw_ref, Ea_ref, Eb_ref,
 
     # ---- t = 0: steady-state init, selected by profile[0] ----------------
     m0 = masks_for(0)
-    c_init = jnp.zeros((PPp, P_TILE), fdt)
+    c_init = jnp.zeros((PPp, p_tile), fdt)
     for s in range(n):
         c_init = c_init + c0_ref[s][:, None] * m0[s]
     for qi in range(q):
         c_scr[qi] = c_init
-    Minit = jnp.zeros((N, d, P_TILE), fdt)
+    Minit = jnp.zeros((N1p, d, p_tile), fdt)
     for s in range(n):
-        Minit = Minit + M0s_ref[s][:, :, None] * bcast(m0[s])
+        Minit = Minit + M0w_ref[s][:, :, None] * bcast(m0[s])
     M_scr[:] = Minit
-    acc_scr[:] = jnp.zeros((1, P_TILE), fdt)
-
-    # ---- Kalman measurement update (in-place on scratch) -----------------
-    def kalman_update(t):
-        Ks = []
-        Sinvs = []
-        for qi in range(q):
-            c = c_scr[qi]                                     # (PPp, P)
-            Cw = jax.lax.dot_general(
-                Gw_ref[:], c, (((1,), (0,)), ((), ())),
-                preferred_element_type=fdt,
-                precision=_KERNEL_PRECISION)                  # (N, P)
-            S = jax.lax.dot_general(
-                w_row, Cw, (((1,), (0,)), ((), ())),
-                preferred_element_type=fdt,
-                precision=_KERNEL_PRECISION) + s2_ref[0, qi]   # (1, P)
-            Sinv = 1.0 / S
-            K = Cw * Sinv                                     # (N, P)
-            CwAB = jax.lax.dot_general(
-                Eab, Cw, (((1,), (0,)), ((), ())),
-                preferred_element_type=fdt,
-                precision=_KERNEL_PRECISION)                  # (2*PPp, P)
-            c_scr[qi] = c - CwAB[:PPp] * CwAB[PPp:] * Sinv
-            Ks.append(K)
-            Sinvs.append(Sinv)
-
-        M = M_scr[:]                                          # (N, d, P)
-        m = jax.lax.dot_general(
-            w_row, M, (((1,), (0,)), ((), ())),
-            preferred_element_type=fdt,
-            precision=_KERNEL_PRECISION)[0]                   # (d, P)
-        ll = jnp.zeros((1, P_TILE), fdt)
-        M_cols = []
-        for dim in range(d):
-            y_td = ydata_ref[t, dim]
-            xmm = y_td - m[dim][None, :]                      # (1, P)
-            K = Ks[Cind[dim]]
-            Sinv = Sinvs[Cind[dim]]
-            M_cols.append(M[:, dim, :] + K * xmm[0][None, :])
-            ll = ll - 0.5 * (xmm * xmm * Sinv - jnp.log(Sinv) + LOG_2PI)
-        M_scr[:] = jnp.stack(M_cols, axis=1)
-        acc_scr[:] = acc_scr[:] + ll
-
-    Eab = jnp.concatenate([Ea_ref[:], Eb_ref[:]], axis=0)     # (2*PPp, N)
-    # all states' mean propagators stacked: one GEMM instead of n
-    BallN = jnp.concatenate([Bs_ref[s] for s in range(n)], axis=0)  # (n*N, N)
+    acc_scr[:] = jnp.zeros((1, p_tile), fdt)
 
     # split-bf16 operands for the dominant packed-conjugation GEMM (3 MXU
     # passes instead of HIGHEST's 6; see module comment)
@@ -230,12 +230,45 @@ def _kernel(Pall_ref, sig_ref, c0_ref, Gw_ref, Ea_ref, Eb_ref,
 
         return dot(Pall_hi, c_hi) + dot(Pall_hi, c_lo) + dot(Pall_lo, c_hi)
 
+    # ---- Kalman measurement update (one merged dot, in-place) ------------
+    def kalman_update(t):
+        Ks = []
+        Sinvs = []
+        for qi in range(q):
+            c = c_scr[qi]                                     # (PPp, P)
+            R = jax.lax.dot_general(
+                U_ref[:], c, (((1,), (0,)), ((), ())),
+                preferred_element_type=fdt,
+                precision=_KERNEL_PRECISION)                  # (URows, P)
+            S = R[S_OFF:S_OFF + 1] + s2_ref[0, qi]            # (1, P)
+            Sinv = 1.0 / S
+            K = R[:N] * Sinv                                  # (N, P)
+            c_scr[qi] = c - (R[A_OFF:A_OFF + PPp]
+                             * R[B_OFF:B_OFF + PPp]) * Sinv
+            Ks.append(K)
+            Sinvs.append(Sinv)
+
+        M = M_scr[:]                                          # (N1p, d, P)
+        m = M[N]                                              # (d, P)
+        ll = jnp.zeros((1, p_tile), fdt)
+        M_cols = []
+        for dim in range(d):
+            y_td = ydata_ref[t, dim]
+            xmm = y_td - m[dim][None, :]                      # (1, P)
+            K = Ks[Cind[dim]]
+            Sinv = Sinvs[Cind[dim]]
+            M_cols.append(M[:N, dim, :] + K * xmm[0][None, :])
+            ll = ll - 0.5 * (xmm * xmm * Sinv - jnp.log(Sinv) + LOG_2PI)
+        M_upd = jnp.stack(M_cols, axis=1)                     # (N, d, P)
+        M_scr[:] = jnp.concatenate([M_upd, M[N:]], axis=0)
+        acc_scr[:] = acc_scr[:] + ll
+
     @pl.when(valid_ref[0, 0] != 0)
     def _():
         kalman_update(0)
 
     # ---- frame loop ------------------------------------------------------
-    def body(t, _):
+    def frame(t):
         masks = masks_for(t)
 
         # packed covariance: c' = P_s c + sig_s, all states in ONE GEMM
@@ -248,58 +281,71 @@ def _kernel(Pall_ref, sig_ref, c0_ref, Gw_ref, Ea_ref, Eb_ref,
                             + sig_ref[s][:, None]) * masks[s])
             c_scr[qi] = cp
 
-        # mean: M' = B M + G (dense; means are (N, d), not symmetric)
-        M = M_scr[:]                                          # (N, d, P)
+        # mean + measurement mean: M' = B M + G with the w.B_s row riding
+        # along per state — all states in ONE GEMM
+        M = M_scr[:]                                          # (N1p, d, P)
         BM_all = jax.lax.dot_general(
-            BallN, M, (((1,), (0,)), ((), ())),
+            Ballw_ref[:], M[:N], (((1,), (0,)), ((), ())),
             preferred_element_type=fdt,
-            precision=_KERNEL_PRECISION)                      # (n*N, d, P)
-        Mp = (BM_all[0:N] + Gs_ref[0][:, :, None]) * bcast(masks[0])
+            precision=_KERNEL_PRECISION)                      # (n*N1p, d, P)
+        Mp = ((BM_all[0:N1p] + Gsw_ref[0][:, :, None]) * bcast(masks[0]))
         for s in range(1, n):
-            Mp = Mp + ((BM_all[s * N:(s + 1) * N] + Gs_ref[s][:, :, None])
-                       * bcast(masks[s]))
+            Mp = Mp + ((BM_all[s * N1p:(s + 1) * N1p]
+                        + Gsw_ref[s][:, :, None]) * bcast(masks[s]))
         M_scr[:] = Mp
 
         @pl.when(valid_ref[t, 0] != 0)
         def _():
             kalman_update(t)
 
+    nrem = (T - 1) % unroll
+    for t in range(1, 1 + nrem):
+        frame(t)
+
+    def body(j, _):
+        t0 = 1 + nrem + j * unroll
+        for i in range(unroll):
+            frame(t0 + i)
         return ()
 
-    jax.lax.fori_loop(1, T, body, (), unroll=False)
+    jax.lax.fori_loop(0, (T - 1 - nrem) // unroll, body, (), unroll=False)
 
     out_ref[:] = acc_scr[:]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("PPp", "Cind_static", "interpret",
-                                    "split_bf16"))
-def _pallas_call_sym(Pall, sig_pack, c0_pack, Gw, Ea, Eb,
-                     Bs, Gs, M0s, w, s2, profiles, ydata, valid,
-                     PPp, Cind_static, interpret, split_bf16=False):
-    n, N, _ = Bs.shape
-    d = Gs.shape[2]
-    fdt = Bs.dtype
+                   static_argnames=("PPp", "offs", "Cind_static", "interpret",
+                                    "split_bf16", "unroll", "p_tile"))
+def _pallas_call_sym(Pall, sig_pack, c0_pack, U, Ballw, Gsw, M0w,
+                     s2, profiles, ydata, valid,
+                     PPp, offs, Cind_static, interpret,
+                     split_bf16=False, unroll=_SYM_UNROLL, p_tile=P_TILE):
+    n = sig_pack.shape[0]
+    N = Ballw.shape[1]
+    d = Gsw.shape[2]
+    fdt = Pall.dtype
+    N1p = offs[3]
+    URows = U.shape[0]
 
     profiles = jnp.asarray(profiles, dtype=jnp.int32)
     P_in, T = profiles.shape
     in_range = jnp.all((profiles >= 0) & (profiles < n), axis=1)
-    P = -(-P_in // P_TILE) * P_TILE
+    P = -(-P_in // p_tile) * p_tile
     if P != P_in:
         profiles = jnp.concatenate(
             [profiles, jnp.broadcast_to(profiles[:1], (P - P_in, T))], axis=0)
     profT = profiles.T
-    w = jnp.asarray(w, dtype=fdt)[None, :]
     s2 = jnp.asarray(s2, dtype=fdt)[None, :]
     ydata = jnp.asarray(ydata, dtype=fdt)
     valid_i32 = jnp.asarray(valid).astype(jnp.int32)[:, None]
     q = s2.shape[1]
 
     kernel = functools.partial(
-        _kernel, n=n, N=N, d=d, q=q, T=T, PPp=PPp, Cind=Cind_static,
-        split_bf16=split_bf16)
+        _kernel, n=n, N=N, d=d, q=q, T=T, PPp=PPp, offs=offs,
+        Cind=Cind_static, split_bf16=split_bf16, unroll=unroll,
+        p_tile=p_tile)
 
-    grid = (P // P_TILE,)
+    grid = (P // p_tile,)
 
     out = pl.pallas_call(
         kernel,
@@ -308,44 +354,44 @@ def _pallas_call_sym(Pall, sig_pack, c0_pack, Gw, Ea, Eb,
             pl.BlockSpec((n * PPp, PPp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, PPp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, PPp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, PPp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PPp, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PPp, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, N, N), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, N, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, N, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((URows, PPp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n * N1p, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, N1p, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, N1p, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, q), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((T, P_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, p_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, P_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, p_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, P), fdt),
         scratch_shapes=[
-            pltpu.VMEM((q, PPp, P_TILE), fdt),
-            pltpu.VMEM((N, d, P_TILE), fdt),
-            pltpu.VMEM((1, P_TILE), fdt),
+            pltpu.VMEM((q, PPp, p_tile), fdt),
+            pltpu.VMEM((N1p, d, p_tile), fdt),
+            pltpu.VMEM((1, p_tile), fdt),
         ],
         interpret=interpret,
-    )(Pall, sig_pack, c0_pack, Gw, Ea, Eb, Bs, Gs, M0s, w, s2,
+    )(Pall, sig_pack, c0_pack, U, Ballw, Gsw, M0w, s2,
       profT, ydata, valid_i32)
     return jnp.where(in_range, out[0, :P_in], jnp.nan)
 
 
 def _sym_vmem_bytes(n, N, d, q, PPp, itemsize=4):
-    """Rough VMEM footprint of the sym kernel: the packed operator
-    dominates (n * PPp^2); plus per-q scratch and the P_TILE-wide buffers."""
-    operands = (n * PPp * PPp + 2 * n * PPp + N * PPp + 2 * PPp * N
-                + n * N * (N + 2 * d))
-    scratch = (q * PPp + N * d + 1) * P_TILE
+    """Rough VMEM footprint of the sym kernel: the packed conjugation
+    operator dominates (n * PPp^2), plus the merged update operator
+    (~2 PPp^2), per-q scratch and the P_TILE-wide buffers."""
+    urows = 2 * PPp + 2 * 8 + N
+    n1p = -(-(N + 1) // 8) * 8
+    operands = (n * PPp * PPp + 2 * n * PPp + urows * PPp
+                + n * n1p * (N + 2 * d))
+    scratch = (q * PPp + n1p * d + 1) * P_TILE
     return (operands + scratch) * itemsize
 
 
 # Fall back to the dense kernel above this packed-operator footprint: the
 # ~16 MB/core VMEM budget must also hold Pallas pipeline buffers. The dense
 # kernel's VMEM scales as q*N^2*P_TILE (scratch) + n*N^2 (operands), far
-# below this crossover for any N where sym overflows (N >= ~44 at n=2).
+# below this crossover for any N where sym overflows (N >= ~40 at n=2).
 _SYM_VMEM_LIMIT = 12 * 2**20
 
 
@@ -357,9 +403,10 @@ def msrouse_logL_pallas_sym(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
     arrays — the packed operators are precomputed on host (f64) and cached;
     model arrays are module-level constants in every caller.
 
-    Large Rouse chains (the packed operator is ``n * (N(N+1)/2)^2`` floats;
-    ~13 MB at n=2, N=50) would exhaust VMEM, so those shapes automatically
-    fall back to the dense Pallas kernel (`kalman_pallas`), which they fit.
+    Large Rouse chains (the packed operators are ``(n+2) * (N(N+1)/2)^2``
+    floats; ~20 MB at n=2, N=50) would exhaust VMEM, so those shapes
+    automatically fall back to the dense Pallas kernel (`kalman_pallas`),
+    which they fit.
     """
     # Shape-only probes: jnp.asarray keeps traced args (e.g. a perturbed s2
     # inside a timing fori_loop) abstract instead of forcing materialization.
@@ -374,12 +421,10 @@ def msrouse_logL_pallas_sym(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
                                    profiles, ydata, valid,
                                    interpret=interpret)
     Cind_static = tuple(int(c) for c in np.asarray(Cind))
-    (Pall, sig_pack, c0_pack, Gw, Ea, Eb), PPp = sym_operators(
-        Bs, Sigs, C0s, w, jnp.asarray(Bs).dtype)
+    (Pall, sig_pack, c0_pack, U, Ballw, Gsw, M0w), PPp, offs = sym_operators(
+        Bs, Gs, Sigs, M0s, C0s, w, jnp.asarray(Bs).dtype)
     from ..config import rouse_matmul
-    return _pallas_call_sym(Pall, sig_pack, c0_pack, Gw, Ea, Eb,
-                            jnp.asarray(Bs), jnp.asarray(Gs),
-                            jnp.asarray(M0s), w, s2,
-                            profiles, ydata, valid,
-                            PPp, Cind_static, interpret,
+    return _pallas_call_sym(Pall, sig_pack, c0_pack, U, Ballw, Gsw, M0w,
+                            s2, profiles, ydata, valid,
+                            PPp, offs, Cind_static, interpret,
                             split_bf16=(rouse_matmul() == "split"))
