@@ -396,7 +396,8 @@ _SYM_VMEM_LIMIT = 12 * 2**20
 
 
 def msrouse_logL_pallas_sym(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
-                            profiles, ydata, valid, interpret=False):
+                            profiles, ydata, valid, interpret=False,
+                            unroll=_SYM_UNROLL, p_tile=P_TILE):
     """
     Drop-in equivalent of `kalman.msrouse_logL_batch` backed by the
     symmetric-packed Pallas kernel. Requires CONCRETE (non-traced) model
@@ -427,4 +428,5 @@ def msrouse_logL_pallas_sym(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
     return _pallas_call_sym(Pall, sig_pack, c0_pack, U, Ballw, Gsw, M0w,
                             s2, profiles, ydata, valid,
                             PPp, offs, Cind_static, interpret,
-                            split_bf16=(rouse_matmul() == "split"))
+                            split_bf16=(rouse_matmul() == "split"),
+                            unroll=unroll, p_tile=p_tile)

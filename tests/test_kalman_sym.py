@@ -101,6 +101,18 @@ def test_rouse_matmul_knob(rng):
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
+def test_sym_unroll_and_p_tile_parity(rng):
+    """The hardware-sweep knobs (manual frame unroll, profile tile width)
+    must not change values: the unroll remainder path (T-1 not divisible
+    by `unroll`) and non-default tiles hit the same per-frame math."""
+    args = _case(rng, N=8, T=14, P=5, missing=(3,))   # (T-1)=13: remainder
+    want = np.asarray(msrouse_logL_pallas_sym(*args, interpret=True))
+    for kw in ({"unroll": 2}, {"unroll": 4}, {"p_tile": 256},
+               {"unroll": 3, "p_tile": 256}):
+        got = np.asarray(msrouse_logL_pallas_sym(*args, interpret=True, **kw))
+        np.testing.assert_allclose(got, want, rtol=1e-9, err_msg=str(kw))
+
+
 def test_sym_large_N_falls_back_to_dense(rng, monkeypatch):
     """Chains whose packed operators exceed the VMEM budget must route to
     the dense Pallas kernel automatically (same values, no overflow)."""
