@@ -48,6 +48,12 @@ def build_parser():
                    help="also compute per-frame state posteriors")
     p.add_argument("--optimize-boundaries", action="store_true",
                    help="greedy boundary refinement of the MAP profiles")
+    p.add_argument("--dwell-times", action="store_true",
+                   help="per-state dwell-time statistics over the dataset: "
+                        "censored samples, Kaplan-Meier survival curves, and "
+                        "censored-exponential mean with confidence interval")
+    p.add_argument("--dt", type=float, default=1.0,
+                   help="frame interval in physical time units (dwell times)")
     p.add_argument("--mesh", action="store_true",
                    help="shard chunks over all visible devices")
     p.add_argument("--seed", type=int, default=0)
@@ -108,6 +114,23 @@ def main(argv=None):
     if args.optimize_boundaries:
         out["optimized_profiles"] = np.array(res.optimized, dtype=object)
         out["boundary_elimination_flag"] = res.eliminated
+    if args.dwell_times:
+        from . import stats
+        source = res.optimized if args.optimize_boundaries else profiles
+        for s in range(model.nStates):
+            dur, cen = stats.dwell_times(source, s, dt=args.dt)
+            out[f"dwell_durations_state{s}"] = dur
+            out[f"dwell_censored_state{s}"] = cen
+            if np.count_nonzero(~cen):
+                out[f"dwell_KM_state{s}"] = stats.KM_survival(dur, cen)
+                m, lo, hi = stats.MLE_censored_exponential(dur, cen)
+                out[f"dwell_exp_mean_ci_state{s}"] = np.array([m, lo, hi])
+                if not args.quiet:
+                    print(f"state {s}: {len(dur)} dwells "
+                          f"({np.count_nonzero(cen)} censored), exponential "
+                          f"mean {m:.3g} (95% CI [{lo:.3g}, {hi:.3g}])")
+            elif not args.quiet:
+                print(f"state {s}: no fully-observed dwell intervals")
     np.savez(args.out, **out)
     if not args.quiet:
         hist = np.bincount(best_k, minlength=args.k_max + 1)

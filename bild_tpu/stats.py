@@ -10,7 +10,74 @@ from __future__ import annotations
 import numpy as np
 from scipy import optimize, stats
 
-__all__ = ["KM_survival", "MLE_censored_exponential"]
+__all__ = ["dwell_times", "KM_survival", "MLE_censored_exponential"]
+
+
+def dwell_times(profiles, state, dt=1.0):
+    """
+    Censored dwell-time sample of one state from inferred looping profiles.
+
+    The bridge from inference output to the survival estimators below:
+    extracts every constant-``state`` interval from each profile and marks
+    the intervals touching either end of the observation window as
+    right-censored (their true dwell time is only bounded below — the same
+    open-ended intervals the reference returns with ``None`` bounds,
+    ``bild/util.py:89-108``; the reference leaves this extraction to the
+    user, its estimators consume exactly this ``(data, censored)`` pair).
+
+    Durations count propagation steps times ``dt``: frame ``t`` is reached
+    by one step governed by ``profile[t]`` (``bild/util.py:10-24``), so an
+    interior interval over frames ``[a, b)`` lasted ``(b - a) * dt``. In the
+    first interval ``profile[0]`` selects the steady state rather than a
+    step, so its observed duration is ``(b - 1) * dt``; a first interval
+    covering only frame 0 has zero observed duration and is dropped (a
+    vacuous ``t_true > 0`` bound).
+
+    Parameters
+    ----------
+    profiles : (B, T) or (T,) int array, Loopingprofile, or sequence of
+        1-d profiles (ragged ok — e.g. ``DatasetResults.best_profile()``)
+    state : int
+        the state whose dwell times to collect
+    dt : float, optional
+        frame interval in physical time units
+
+    Returns
+    -------
+    durations : (M,) float array
+    censored : (M,) bool array
+        ready for `KM_survival` / `MLE_censored_exponential`
+    """
+    if isinstance(profiles, (list, tuple)) and len(profiles) \
+            and np.ndim(profiles[0]) >= 1:
+        rows = [np.asarray(p, dtype=int).ravel() for p in profiles]
+    else:
+        arr = np.asarray(profiles)
+        if arr.dtype == object:
+            rows = [np.asarray(p, dtype=int).ravel() for p in arr]
+        elif arr.ndim <= 1:
+            rows = [arr.astype(int).ravel()]
+        else:
+            rows = list(arr.astype(int))
+
+    durations, censored = [], []
+    for s in rows:
+        T = len(s)
+        if T == 0:
+            continue
+        cuts = np.flatnonzero(s[1:] != s[:-1]) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [T]])
+        for a, b in zip(starts, ends):
+            if s[a] != state:
+                continue
+            first, last = a == 0, b == T
+            dur = (b - a - (1 if first else 0)) * dt
+            if dur <= 0:
+                continue
+            durations.append(dur)
+            censored.append(first or last)
+    return np.asarray(durations, dtype=float), np.asarray(censored, dtype=bool)
 
 
 def KM_survival(data, censored, conf=0.95, Tmax=np.inf, S1at=0):

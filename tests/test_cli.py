@@ -54,7 +54,7 @@ CLI_FAST = ["--monomers", "8", "--k-max", "2", "--steps-per-k", "4",
 def test_cli_end_to_end(tiny_csv, tmp_path):
     out = str(tmp_path / "res.npz")
     rc = main([tiny_csv, "--out", out, *CLI_FAST,
-               "--marginals", "--optimize-boundaries"])
+               "--marginals", "--optimize-boundaries", "--dwell-times"])
     assert rc == 0
     res = np.load(out, allow_pickle=True)
     assert res["evidence"].shape == (3, 3)          # (B, k_max+1)
@@ -68,6 +68,17 @@ def test_cli_end_to_end(tiny_csv, tmp_path):
     np.testing.assert_allclose(
         np.exp(lmp[0].astype(float)).sum(axis=0), 1.0, rtol=1e-5)
     assert res["optimized_profiles"][0].shape == (16,)
+    # --dwell-times: censored samples per state, exponential mean with CI
+    # for any state with at least one fully-observed interval (the
+    # "postproc credible intervals" leg of the 10k-dataset target)
+    for s in (0, 1):
+        dur = res[f"dwell_durations_state{s}"]
+        cen = res[f"dwell_censored_state{s}"]
+        assert dur.shape == cen.shape and cen.dtype == bool
+        if np.count_nonzero(~cen):
+            m, lo, hi = res[f"dwell_exp_mean_ci_state{s}"]
+            assert lo < m < hi
+            assert res[f"dwell_KM_state{s}"].shape[1] == 4
 
 
 def test_cli_checkpoint_rerun_identical(tiny_csv, tmp_path):

@@ -150,6 +150,41 @@ class TestStats:
         assert lo < m < hi
         assert abs(m - true_mean) < 0.3
 
+    def test_dwell_times_extraction(self):
+        # profile [0,1,1,0,0,1]: state-1 intervals are [1,3) observed
+        # (2 steps) and [5,6) at the edge (1 step, censored); the state-0
+        # first interval covers only frame 0 (profile[0] is the steady-state
+        # selector, not a step) and is dropped, [3,5) is observed (2 steps)
+        prof = [0, 1, 1, 0, 0, 1]
+        dur, cen = bild.stats.dwell_times(prof, 1)
+        np.testing.assert_array_equal(dur, [2.0, 1.0])
+        np.testing.assert_array_equal(cen, [False, True])
+        dur0, cen0 = bild.stats.dwell_times(prof, 0)
+        np.testing.assert_array_equal(dur0, [2.0])
+        np.testing.assert_array_equal(cen0, [False])
+
+    def test_dwell_times_constant_profile_censored(self):
+        dur, cen = bild.stats.dwell_times(np.full(5, 2), 2, dt=0.5)
+        np.testing.assert_array_equal(dur, [2.0])   # 4 steps * dt
+        np.testing.assert_array_equal(cen, [True])
+        assert bild.stats.dwell_times(np.full(5, 2), 0)[0].size == 0
+
+    def test_dwell_times_batched_and_ragged(self):
+        batch = np.array([[0, 1, 1, 0, 0, 1],
+                          [1, 1, 1, 1, 1, 1]])
+        dur, cen = bild.stats.dwell_times(batch, 1)
+        np.testing.assert_array_equal(dur, [2.0, 1.0, 5.0])
+        np.testing.assert_array_equal(cen, [False, True, True])
+        ragged = [np.array([0, 1, 1, 0]), np.array([1, 1])]
+        dur_r, cen_r = bild.stats.dwell_times(ragged, 1)
+        np.testing.assert_array_equal(dur_r, [2.0, 1.0])
+        np.testing.assert_array_equal(cen_r, [False, True])
+        # feeds the estimators directly
+        out = bild.stats.KM_survival(dur, cen)
+        assert out.shape[1] == 4
+        m, lo, hi = bild.stats.MLE_censored_exponential(dur, cen)
+        assert lo < m < hi
+
 
 def test_sample_keyboard_interrupt_returns_partial_results(monkeypatch):
     """Manual interruption mid-inference still returns a valid (partial)
