@@ -73,6 +73,17 @@ def main(csv_path=None):
     for i in range(min(3, len(trajs))):
         print(f"  traj {i}: k={best_k[i]}, "
               f"profile {''.join(map(str, profiles[i][:40]))}...")
+
+    # dataset-level dwell-time statistics: censored samples per state ->
+    # exponential mean with confidence interval (stats.dwell_times bridges
+    # inferred profiles to the survival estimators)
+    from bild_tpu import stats
+    for s in range(model.nStates):
+        dur, cen = stats.dwell_times(profiles, s)
+        if np.count_nonzero(~cen):
+            m, lo, hi = stats.MLE_censored_exponential(dur, cen)
+            print(f"  state {s}: {dur.size} dwells, exp mean {m:.2f} frames "
+                  f"(95% CI [{lo:.2f}, {hi:.2f}])")
     print(f"total wall: {time.time() - t0:.1f}s")
 
 
