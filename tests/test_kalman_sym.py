@@ -10,13 +10,15 @@ from bild_tpu.ops.kalman_sym import (msrouse_logL_pallas_sym,
                                      _build_sym_operators)
 
 
-def _case(rng, N=12, d=3, T=40, P=70, locerr=(0.1, 0.2, 0.1), missing=(0, 5, 17)):
-    model = MultiStateRouse(N, 1.0, 4.0, d=d, localization_error=list(locerr))
+def _case(rng, N=12, d=3, T=40, P=70, locerr=(0.1, 0.2, 0.1), missing=(0, 5, 17),
+          looppositions=(None, (0, -1))):
+    model = MultiStateRouse(N, 1.0, 4.0, d=d, localization_error=list(locerr),
+                            looppositions=looppositions)
     data = rng.normal(size=(T, d))
     for t in missing:
         data[t] = np.nan
     traj = Trajectory.create(data)
-    profiles = rng.integers(0, 2, size=(P, T)).astype(np.int32)
+    profiles = rng.integers(0, model.nStates, size=(P, T)).astype(np.int32)
     s2, Cind = model._noise_arrays(traj)
     args = (model.Bs, model.Gs, model.Sigs, model.M0s, model.C0s,
             model.w, s2, Cind, jnp.asarray(profiles), traj.data, traj.valid)
@@ -28,6 +30,17 @@ def test_sym_interpret_parity(rng):
     want = np.asarray(msrouse_logL_batch(*args))
     got = np.asarray(msrouse_logL_pallas_sym(*args, interpret=True))
     # x64 in tests: the packed reformulation is algebraically exact
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_sym_interpret_parity_three_states(rng):
+    """The config-4 workload shape (3 Rouse states: free, full loop, half
+    loop) through the merged-update kernel — per-state operator stacking
+    and selection must hold beyond n=2."""
+    args = _case(rng, N=10, T=30, P=40,
+                 looppositions=(None, (0, -1), (0, 4)))
+    want = np.asarray(msrouse_logL_batch(*args))
+    got = np.asarray(msrouse_logL_pallas_sym(*args, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
