@@ -5,7 +5,10 @@ Command-line entry point: dataset-scale looping inference.
 
 Reads a trajectory table (``traj_id, frame, v0..v{d-1}``; see `bild_tpu.io`),
 runs `sample_dataset` on a MultiStateRouse looping model, and writes per-
-trajectory evidence curves, best switch counts, and MAP looping profiles.
+trajectory evidence curves, best switch counts, and MAP looping profiles —
+optionally boundary-optimized (``--optimize-boundaries``) and summarized
+into per-state dwell-time survival curves with confidence intervals
+(``--dwell-times``).
 The reference package has no CLI (library-only); this is the batteries-
 included path for the 10k-trajectory production runs it was built for.
 """
@@ -15,6 +18,17 @@ import argparse
 import sys
 
 import numpy as np
+
+
+def _object_array(seq):
+    """1-d object array of per-trajectory arrays. ``np.array(seq,
+    dtype=object)`` is NOT safe here: for ragged 2-d elements with a common
+    leading dim (e.g. (n, T_i) marginals) it raises a broadcast error, and
+    for equal-length elements it silently builds a 2-d object array."""
+    out = np.empty(len(seq), dtype=object)
+    for i, x in enumerate(seq):
+        out[i] = np.asarray(x)
+    return out
 
 
 def build_parser():
@@ -106,13 +120,13 @@ def main(argv=None):
         "evidence_se": res.evidence_se,
         "best_k": best_k,
         "lengths": np.array([len(p) for p in profiles]),
-        "best_profiles": np.array(profiles, dtype=object),
+        "best_profiles": _object_array(profiles),
     }
     if args.marginals:
-        out["log_marginal_posterior"] = np.array(
-            res.log_marginal_posterior(dE="average"), dtype=object)
+        out["log_marginal_posterior"] = _object_array(
+            res.log_marginal_posterior(dE="average"))
     if args.optimize_boundaries:
-        out["optimized_profiles"] = np.array(res.optimized, dtype=object)
+        out["optimized_profiles"] = _object_array(res.optimized)
         out["boundary_elimination_flag"] = res.eliminated
     if args.dwell_times:
         from . import stats

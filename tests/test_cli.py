@@ -34,6 +34,12 @@ def tiny_csv(tmp_path_factory):
             prof[8:] = 1
         trajs.append(model.trajectory_from_loopingprofile(
             prof, key=jax.random.key(100 + i)))
+    # one longer trajectory with an INTERIOR loop interval, so --dwell-times
+    # sees at least one fully-observed (uncensored) dwell
+    prof = np.zeros(24, dtype=int)
+    prof[6:18] = 1
+    trajs.append(model.trajectory_from_loopingprofile(
+        prof, key=jax.random.key(103)))
     path = tmp_path_factory.mktemp("cli") / "tiny.csv"
     _write_csv(path, trajs)
     return str(path)
@@ -57,13 +63,13 @@ def test_cli_end_to_end(tiny_csv, tmp_path):
                "--marginals", "--optimize-boundaries", "--dwell-times"])
     assert rc == 0
     res = np.load(out, allow_pickle=True)
-    assert res["evidence"].shape == (3, 3)          # (B, k_max+1)
-    assert res["best_k"].shape == (3,)
-    assert list(res["lengths"]) == [16, 16, 16]
+    assert res["evidence"].shape == (4, 3)          # (B, k_max+1)
+    assert res["best_k"].shape == (4,)
+    assert list(res["lengths"]) == [16, 16, 16, 24]
     profiles = res["best_profiles"]
-    assert all(p.shape == (16,) for p in profiles)
+    assert [len(p) for p in profiles] == [16, 16, 16, 24]
     lmp = res["log_marginal_posterior"]
-    assert all(m.shape == (2, 16) for m in lmp)      # (n_states, T)
+    assert all(m.shape == (2, len(p)) for m, p in zip(lmp, profiles))
     # marginal posterior columns normalize
     np.testing.assert_allclose(
         np.exp(lmp[0].astype(float)).sum(axis=0), 1.0, rtol=1e-5)
@@ -79,6 +85,11 @@ def test_cli_end_to_end(tiny_csv, tmp_path):
             m, lo, hi = res[f"dwell_exp_mean_ci_state{s}"]
             assert lo < m < hi
             assert res[f"dwell_KM_state{s}"].shape[1] == 4
+    # the interior-loop trajectory guarantees (deterministically, fixed
+    # keys) a fully-observed dwell for SOME state -> the CI branch ran
+    # (state labeling at this tiny budget is arbitrary)
+    assert any(np.count_nonzero(~res[f"dwell_censored_state{s}"]) > 0
+               for s in (0, 1))
 
 
 def test_cli_checkpoint_rerun_identical(tiny_csv, tmp_path):
