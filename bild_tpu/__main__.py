@@ -31,6 +31,37 @@ def _object_array(seq):
     return out
 
 
+def _parse_looppositions(spec):
+    """
+    Parse the ``--loop-positions`` grammar into the `MultiStateRouse`
+    ``looppositions`` argument: states separated by ``;``, each state
+    ``none`` (no extra bond) or ``+``-separated bonds ``left,right[,
+    rel_strength]`` (ints; strength float, default 1). Example — the
+    3-state free/full-loop/inner-loop model:
+
+        --loop-positions "none;0,-1;0,10"
+    """
+    states = []
+    for part in spec.split(";"):
+        part = part.strip()
+        if part.lower() in ("none", ""):
+            states.append(None)
+            continue
+        bonds = []
+        for bond in part.split("+"):
+            f = [x.strip() for x in bond.split(",")]
+            if len(f) not in (2, 3):
+                raise ValueError(
+                    f"bad bond {bond!r} in --loop-positions (want "
+                    f"'left,right' or 'left,right,strength')")
+            bonds.append((int(f[0]), int(f[1]))
+                         + ((float(f[2]),) if len(f) == 3 else ()))
+        states.append(bonds[0] if len(bonds) == 1 else bonds)
+    if len(states) < 2:
+        raise ValueError("--loop-positions needs >= 2 states")
+    return tuple(states)
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         prog="python -m bild_tpu",
@@ -45,6 +76,11 @@ def build_parser():
                    help="Rouse chain length N (default 20)")
     p.add_argument("--D", type=float, default=1.0)
     p.add_argument("--k", type=float, default=5.0)
+    p.add_argument("--loop-positions", default=None, metavar="SPEC",
+                   help="per-state extra bonds, ';'-separated states of "
+                        "'left,right[,strength]' bonds ('+'-separated), "
+                        "'none' = no bond. Default 'none;0,-1' (2-state). "
+                        "E.g. 3-state: 'none;0,-1;0,10'")
     p.add_argument("--k-max", type=int, default=10,
                    help="max switch count explored (default 10)")
     p.add_argument("--steps-per-k", type=int, default=20)
@@ -96,7 +132,10 @@ def main(argv=None):
         print(f"{len(trajs)} trajectories, d={d}, "
               f"T in [{min(lens)}, {max(lens)}]")
 
+    loops = (_parse_looppositions(args.loop_positions)
+             if args.loop_positions else (None, (0, -1)))
     model = MultiStateRouse(args.monomers, args.D, args.k, d=d,
+                            looppositions=loops,
                             localization_error=args.localization_error)
 
     res = sample_dataset(

@@ -50,6 +50,29 @@ def test_parser_defaults():
     assert args.out == "bild_results.npz"
     assert args.k_max == 10 and args.monomers == 20
     assert not args.two_locus and not args.marginals
+    assert args.loop_positions is None
+
+
+def test_parse_looppositions():
+    from bild_tpu.__main__ import _parse_looppositions as parse
+    assert parse("none;0,-1") == (None, (0, -1))
+    assert parse("none;0,-1;0,10") == (None, (0, -1), (0, 10))
+    assert parse("none;0,-1,0.5") == (None, (0, -1, 0.5))
+    assert parse("none;0,-1+3,5") == (None, [(0, -1), (3, 5)])
+    with pytest.raises(ValueError):
+        parse("none")                      # < 2 states
+    with pytest.raises(ValueError):
+        parse("none;0")                    # malformed bond
+
+
+def test_cli_three_state_model(tiny_csv, tmp_path):
+    out = str(tmp_path / "res3.npz")
+    rc = main([tiny_csv, "--out", out, *CLI_FAST,
+               "--loop-positions", "none;0,-1;0,3"])
+    assert rc == 0
+    res = np.load(out, allow_pickle=True)
+    assert res["evidence"].shape == (4, 3)
+    assert np.all(np.isfinite(res["evidence"][:, 0]))
 
 
 CLI_FAST = ["--monomers", "8", "--k-max", "2", "--steps-per-k", "4",
