@@ -185,6 +185,11 @@ def main(argv=None):
             elif not args.quiet:
                 print(f"state {s}: no fully-observed dwell intervals")
     np.savez(args.out, **out)
+    frac_at_cap = float(np.mean(best_k >= args.k_max))
+    if frac_at_cap > 0.2:
+        print(f"warning: {frac_at_cap:.0%} of trajectories chose "
+              f"k = k_max = {args.k_max}; the explored switch-count range "
+              f"may be binding - consider raising --k-max", file=sys.stderr)
     if not args.quiet:
         hist = np.bincount(best_k, minlength=args.k_max + 1)
         print(f"switch-count histogram: {hist.tolist()}")

@@ -131,6 +131,16 @@ def test_cli_checkpoint_rerun_identical(tiny_csv, tmp_path):
     np.testing.assert_array_equal(a["best_k"], b["best_k"])
 
 
+def test_cli_warns_when_k_max_binds(tiny_csv, tmp_path, capsys):
+    # k_max=0 forces every trajectory to the ceiling -> stderr warning
+    out = str(tmp_path / "cap.npz")
+    rc = main([tiny_csv, "--out", out, "--monomers", "8", "--k-max", "0",
+               "--steps-per-k", "2", "--proposals", "8", "--scout-steps", "0",
+               "--localization-error", "0.15", "--chunk-size", "4", "--quiet"])
+    assert rc == 0
+    assert "consider raising --k-max" in capsys.readouterr().err
+
+
 def test_cli_empty_input_fails_cleanly(tmp_path, capsys):
     path = tmp_path / "empty.csv"
     path.write_text("traj_id,frame,v0\n")
