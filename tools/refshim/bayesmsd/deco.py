@@ -1,0 +1,8 @@
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from bild_tpu.physics.gp import MSDfun, imaging  # noqa: F401,E402
