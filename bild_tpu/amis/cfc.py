@@ -301,6 +301,18 @@ class CFC:
             raise RuntimeError("Iteration did not converge")
         return logp
 
+    def logp_from_marginals(self, log_marginals):
+        """Weight parameters reproducing the given per-slot marginals
+        (reference ``bild/amis.py:307-334``); raises if the fixed-point
+        solve of any slot diverges, like `estimate`."""
+        logp, converged = cfc_logp_from_marginals(
+            jnp.asarray(log_marginals), self._transitions_dev,
+            self.MOM_maxiter, self.MOM_precision,
+        )
+        if not bool(converged):
+            raise RuntimeError("Iteration did not converge")
+        return logp
+
     def solve_marginals_single(self, logf, logg):
         logp, converged = _solve_marginals_single(
             jnp.asarray(logf), jnp.asarray(logg), self._transitions_dev,

@@ -73,11 +73,20 @@ class ChoiceSampler:
 
         if rng is None:
             rng = np.random.default_rng()
-        # One cached set of evidence-curve draws underlies *every* variant
-        # evaluated below (common random numbers).
-        noise = rng.standard_normal((self.samplesize, self.n_k))
-        self._curves = self.logev + np.sqrt(self.var_logev) * noise
+        self._rng = rng
+        self.init_sample()
 
+    def init_sample(self):
+        """
+        (Re-)draw the cached evidence-curve sample underlying every score.
+
+        One cached set of draws underlies *every* variant evaluated below
+        (common random numbers); calling this again re-randomizes an
+        existing instance, like the reference's
+        ``ChoiceSampler.init_sample`` (``bild/choicesampler.py:99-110``).
+        """
+        noise = self._rng.standard_normal((self.samplesize, self.n_k))
+        self._curves = self.logev + np.sqrt(self.var_logev) * noise
         self.counts0 = self._tally(self._pick(self._curves))
 
     # -- core selection rule ------------------------------------------------
@@ -110,20 +119,31 @@ class ChoiceSampler:
 
     # -- information-gain scores ---------------------------------------------
 
+    def Dn(self):
+        """
+        Expected change in the choice-distribution histogram.
+
+        ``Dn()[k1, k2]`` is the expected change in the histogram count of
+        k=k2 upon adding one AMIS step at k=k1, probed by a central
+        difference: shift each k's column of the cached draws by ±half an
+        rms step and compare the two histograms (reference
+        ``bild/choicesampler.py:153-166``). Rows of exhausted k are zero.
+        """
+        shift = np.diag(0.5 * self.step_rms)          # (k, k), zero rows for exhausted k
+        up = self._tally(self._pick(self._curves[None] + shift[:, None, :]))
+        down = self._tally(self._pick(self._curves[None] - shift[:, None, :]))
+        return (up - down).astype(float)              # (k_probed, k)
+
     def KLD_moreSamples(self):
         """
         Expected KL information gain of one additional AMIS step at each k.
 
         The evidence shift from one more step is symmetric around zero, so
         the expected *change* in the choice distribution vanishes — but the
-        expected KL divergence is quadratic in the change and does not. We
-        probe it with a central difference: shift each k's column of the
-        cached draws by ±half an rms step and compare the two histograms.
+        expected KL divergence is quadratic in the change and does not:
+        KL ≈ Σ Dn² / (2·samplesize·(counts+1)) per probed k.
         """
-        shift = np.diag(0.5 * self.step_rms)          # (k, k), zero rows for exhausted k
-        up = self._tally(self._pick(self._curves[None] + shift[:, None, :]))
-        down = self._tally(self._pick(self._curves[None] - shift[:, None, :]))
-        swing = (up - down).astype(float)             # (k_probed, k)
+        swing = self.Dn()                             # (k_probed, k)
         return np.sum(swing**2 / (self.counts0 + 1.0), axis=-1) \
             / (2.0 * self.samplesize)
 

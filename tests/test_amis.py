@@ -124,6 +124,23 @@ class TestCFC:
         except RuntimeError:
             pass
 
+    def test_logp_from_marginals(self):
+        # inverting the uniform marginals must reproduce the uniform weights
+        # (reference bild/amis.py:307-334 & :451-472 are consistent this way)
+        cfc = CFC([[0, 1, 1], [1, 0, 1], [1, 1, 0]])
+        k = 3
+        logp = np.asarray(cfc.logp_from_marginals(cfc.uniform_marginals(k)))
+        expect = np.asarray(cfc.logp_uniform(k))
+        np.testing.assert_allclose(np.exp(logp), np.exp(expect), atol=2e-2)
+
+        # non-convergence raises, like estimate
+        cfc.MOM_maxiter = 0
+        try:
+            cfc.logp_from_marginals(cfc.uniform_marginals(k))
+            assert False
+        except RuntimeError:
+            pass
+
     def test_N_total(self):
         cfc = CFC([[0, 1, 1], [1, 0, 1], [1, 1, 0]])
         for k in range(10):

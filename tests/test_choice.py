@@ -42,6 +42,35 @@ def test_KLD_omitK_importance():
     assert gain_winner > 100 * max(gain_loser, 1e-12)
 
 
+def test_Dn_matches_KLD_moreSamples():
+    # Dn is the central-difference histogram swing that KLD_moreSamples
+    # scores (reference bild/choicesampler.py:153-178): recomputing the KL
+    # from Dn() must reproduce KLD_moreSamples() exactly.
+    cs = _cs([0.0, 0.8, 0.4])
+    swing = cs.Dn()
+    assert swing.shape == (3, 3)
+    expect = np.sum(swing**2 / (cs.counts0 + 1.0), axis=-1) \
+        / (2.0 * cs.samplesize)
+    np.testing.assert_allclose(cs.KLD_moreSamples(), expect, rtol=0, atol=0)
+    # exhausted k: zero step size -> zero swing row
+    cs2 = _cs([0.0, 0.8, 0.4], N=[5, np.inf, 5])
+    assert np.all(cs2.Dn()[1] == 0.0)
+
+
+def test_init_sample_redraws():
+    cs = _cs([0.0, 0.1, 0.2])
+    before = cs.evaluate().copy()
+    counts_before = cs.counts0.copy()
+    cs.init_sample()
+    after = cs.evaluate()
+    # new draws from the same generator stream: same shape/semantics,
+    # different sample; counts0 is refreshed consistently
+    assert before.shape == after.shape
+    assert np.any(before != after)
+    np.testing.assert_array_equal(cs.counts0, cs._tally(after))
+    assert np.sum(cs.counts0) == cs.samplesize == np.sum(counts_before)
+
+
 def test_evaluate_common_random_numbers():
     cs = _cs([0.0, 0.1, 0.2])
     a = cs.evaluate()
