@@ -31,13 +31,38 @@ import sys
 def parse_rst(text):
     """Parse the subset of RST these docs use into a block list:
     ('title', level, text) | ('para', html) | ('code', text) |
-    ('automodule', name, members-or-None)."""
+    ('table', header-row, rows) | ('automodule', name, members-or-None)."""
     lines = text.splitlines()
     blocks = []
     i = 0
     while i < len(lines):
         line = lines[i]
         nxt = lines[i + 1] if i + 1 < len(lines) else ""
+        # simple table: '====  ====' border, header row(s), border, body
+        # rows, closing border
+        is_border = lambda s: re.fullmatch(r"\s*=+(?:\s+=+)+\s*", s)
+        if is_border(line):
+            starts = [s.start() for s in re.finditer(r"=+", line)]
+            ends = starts[1:] + [10**9]
+            def cells(row):
+                return [row[a:b].strip() for a, b in zip(starts, ends)]
+            # collect the sections between border lines
+            sections, sect, j = [], [], i + 1
+            while j < len(lines):
+                if is_border(lines[j]):
+                    sections.append(sect)
+                    sect = []
+                    if len(sections) == 2:      # header + body seen
+                        break
+                elif lines[j].strip():
+                    sect.append(cells(lines[j]))
+                j += 1
+            if len(sections) == 2 and sections[0]:
+                header = sections[0][0]
+                blocks.append(("table", header, sections[1]))
+                i = j + 1
+                continue
+            # not a complete table: fall through to paragraph handling
         # section titles: text underlined with = or -
         if line.strip() and re.fullmatch(r"[=\-~^]{3,}", nxt.strip() or "x") \
                 and len(nxt.strip()) >= len(line.strip()):
@@ -208,8 +233,11 @@ pre code { background: none; padding: 0; }
 .method { margin: .8rem 0 .8rem 1.5rem; }
 .method > .sig { font-family: ui-monospace, monospace; color: #2c5282; }
 .modpath { color: #718096; font-size: .85rem; }
+table { border-collapse: collapse; margin: 1rem 0; font-size: .92rem; }
+th, td { border: 1px solid #e2e8f0; padding: .35rem .7rem; text-align: left; }
+th { background: #ebf8ff; color: #2c5282; }
 </style></head><body>
-<nav><a href="index.html">bild_tpu</a><a href="api.html">API reference</a></nav>
+<nav><a href="index.html">bild_tpu</a><a href="migration.html">Migrating from bild</a><a href="api.html">API reference</a></nav>
 <div class="wrap">
 {{ body }}
 </div></body></html>
@@ -224,6 +252,13 @@ def render_blocks(blocks):
             parts.append(f"<h{b[1]}>{html.escape(b[2])}</h{b[1]}>")
         elif b[0] == "para":
             parts.append(f"<p>{b[1]}</p>")
+        elif b[0] == "table":
+            head = "".join(f"<th>{_inline(c)}</th>" for c in b[1])
+            rows = "".join(
+                "<tr>" + "".join(f"<td>{_inline(c)}</td>" for c in row)
+                + "</tr>" for row in b[2])
+            parts.append(f"<table><thead><tr>{head}</tr></thead>"
+                         f"<tbody>{rows}</tbody></table>")
         elif b[0] == "code":
             try:
                 from pygments import highlight
