@@ -64,11 +64,12 @@ def test_sym_out_of_range_states_yield_nan(rng):
 
 
 def test_packed_operator_matches_dense_conjugation(rng):
-    """P_s c == pack(B C B^T) for random symmetric C, and the merged
-    update operator's sections recover Cw, S, and the rank-1 factors."""
+    """P_s c == pack(B C B^T) for random symmetric C, and the update
+    contraction + selection operators recover Cw, S, and the rank-1
+    factors."""
     model = MultiStateRouse(9, 1.0, 4.0, d=1, localization_error=0.2)
-    (Pall, sig, c0, U, Ballw, Gsw, M0w, PPp,
-     (S_OFF, A_OFF, B_OFF, N1p)) = _build_sym_operators(
+    (Pall, sig, c0, U1, Sel, Ballw, Gsw, M0w, PPp,
+     (S_OFF, N1p)) = _build_sym_operators(
         model.Bs, model.Gs, model.Sigs, model.M0s, model.C0s, model.w)
     n, N, _ = np.asarray(model.Bs).shape
     w = np.asarray(model.w)
@@ -82,13 +83,17 @@ def test_packed_operator_matches_dense_conjugation(rng):
         want = (B[s] @ C @ B[s].T)[ia, ja]
         got = (Pall[s * PPp:(s + 1) * PPp] @ c)[: len(ia)]
         np.testing.assert_allclose(got, want, rtol=1e-10)
-    # merged update operator: R = U c sections
-    R = U @ c
+    # update operators: contraction R1 = U1 c, then one-hot selection
+    R1 = U1 @ c
     Cw = C @ w
-    np.testing.assert_allclose(R[:N], Cw, rtol=1e-10)          # Gw c == C w
-    np.testing.assert_allclose(R[S_OFF], w @ Cw, rtol=1e-10)   # S row
-    np.testing.assert_allclose(R[A_OFF:A_OFF + len(ia)], Cw[ia], rtol=1e-10)
-    np.testing.assert_allclose(R[B_OFF:B_OFF + len(ia)], Cw[ja], rtol=1e-10)
+    np.testing.assert_allclose(R1[:N], Cw, rtol=1e-10)         # Gw c == C w
+    np.testing.assert_allclose(R1[S_OFF], w @ Cw, rtol=1e-10)  # S row
+    R2 = Sel @ R1
+    np.testing.assert_array_equal(R2[:len(ia)], Cw[ia])        # exact copy
+    np.testing.assert_array_equal(R2[PPp:PPp + len(ia)], Cw[ja])
+    # selection rows are one-hot (exactly representable in bf16)
+    assert set(np.unique(Sel)) <= {0.0, 1.0}
+    assert np.all(Sel.sum(axis=1)[:len(ia)] == 1)
     # mean propagator carries w.B_s as row N of each state block
     for s in range(n):
         np.testing.assert_allclose(Ballw[s * N1p + N], w @ B[s], rtol=1e-12)
