@@ -12,7 +12,9 @@ Configs (BASELINE.md "North-star targets"):
      (throughput metric: trajectories/s warm)
   4  3-state model, T=1000 frames, batched lockstep AMIS
   5  10,240-trajectory dataset, single chip (the "10k trajectories in
-     minutes" target; pass --configs 5 explicitly, it runs ~5-10 min)
+     minutes" target; pass --configs 5 explicitly, it runs ~2-10 min)
+  5p config 5 + batched boundary postproc + evidence-averaged marginal
+     posteriors (the full "10k + postproc credible intervals" north star)
   6  GenericGaussianModel dataset inference (device interval tables)
 
 Usage:
@@ -158,12 +160,22 @@ def config4():
     }
 
 
-def config5():
+def config5(postproc=False):
     """10,240-trajectory dataset on one chip (no warm repeat: reported
-    wall-clock includes one-time compiles, amortized over the dataset)."""
+    wall-clock includes one-time compiles, amortized over the dataset).
+
+    With ``postproc=True`` this is the full BASELINE.md north star
+    ("10k-trajectory dataset + postproc credible intervals"): each chunk
+    additionally runs the batched boundary hill climb on the MAP profiles
+    and computes evidence-averaged marginal state posteriors; the reported
+    wall time includes both, and ``mean_credibility`` is the mean posterior
+    probability of the selected state over all frames (how credible the
+    reported profiles are under the sampled posterior).
+    """
     import jax
     from bild_tpu.models import MultiStateRouse
     from bild_tpu.parallel import sample_batch
+    from bild_tpu.postproc import optimize_boundary_batch
 
     rng = np.random.default_rng(5)
     model = MultiStateRouse(20, 1.0, 5.0, d=3, localization_error=0.1)
@@ -171,18 +183,28 @@ def config5():
     t0 = time.perf_counter()
     acc_frames = 0.0
     acc_switch = 0.0
+    acc_post = 0.0
+    cred = 0.0
     for c in range(B_total // chunk):
         truths = _truth_profiles(rng, chunk, 100, 2)
         batch = model.trajectories_from_loopingprofiles(
             truths, key=jax.random.key(100 + c))
         res = sample_batch(model, batch, k_max=4, steps_per_k=12, N=128,
                            informed_init=True, scout_steps=4, refine_top=3,
-                           key=jax.random.key(200 + c))
-        acc_frames += _accuracy(res.best_profile(), truths)
+                           marginals=postproc, key=jax.random.key(200 + c))
+        profiles = res.best_profile()
+        acc_frames += _accuracy(profiles, truths)
         acc_switch += _switch_accuracy(res.best_k(), truths)
+        if postproc:
+            opt, _ = optimize_boundary_batch(profiles, batch, model)
+            acc_post += _accuracy(opt, truths)
+            logpost = res.log_marginal_posterior(dE="average")  # (B, n, T)
+            picked = np.take_along_axis(
+                np.exp(logpost), np.asarray(opt)[:, None, :], axis=1)
+            cred += float(np.mean(picked))
     dt = time.perf_counter() - t0
     n_chunks = B_total // chunk
-    return {
+    out = {
         "config": 5,
         "B": B_total,
         "wall_minutes": round(dt / 60, 2),
@@ -190,6 +212,11 @@ def config5():
         "frame_accuracy": round(acc_frames / n_chunks, 4),
         "switch_count_accuracy": round(acc_switch / n_chunks, 4),
     }
+    if postproc:
+        out["postproc"] = True
+        out["frame_accuracy_postproc"] = round(acc_post / n_chunks, 4)
+        out["mean_credibility"] = round(cred / n_chunks, 4)
+    return out
 
 
 def config6():
@@ -283,15 +310,16 @@ def main():
     set_rouse_matmul(args.matmul)
     suffix = "" if args.matmul == "exact" else "_split"
 
-    runners = {2: config2, 3: config3, 4: config4, 5: config5, 6: config6,
-               7: config7}
+    runners = {"2": config2, "3": config3, "4": config4, "5": config5,
+               "5p": lambda: config5(postproc=True), "6": config6,
+               "7": config7}
     results = {}
-    for c in [int(x) for x in args.configs.split(",")]:
+    for c in args.configs.split(","):
         print(f"== config {c}{suffix} ==", flush=True)
         r = runners[c]()
         if suffix:
             r["matmul"] = args.matmul
-        results[str(c) + suffix] = r
+        results[c + suffix] = r
         print(json.dumps(r), flush=True)
 
     with open(args.out, "w") as f:

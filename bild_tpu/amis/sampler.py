@@ -354,7 +354,13 @@ def _make_fused_steps(logL_fn, N: int, T: int):
 @partial(jax.jit, static_argnames=("T", "nStates"))
 def _marginal_posterior(ss, thetas, log_weights, *, T: int, nStates: int,
                         active=None):
-    """Weighted state marginals over an ensemble: ``(n, T)`` log-probs."""
+    """Weighted state marginals over an ensemble: ``(n, T)`` log-probs.
+
+    NaN log-weights mark inconsistent points (``logL = -inf`` against a
+    ``logdelta = -inf`` mixture density) and get zero weight — the same
+    convention `amis_update` applies before the evidence sum; without it a
+    single such sample poisons every frame of the marginals."""
+    log_weights = jnp.where(jnp.isnan(log_weights), _NEG_INF, log_weights)
     flat_ss = ss.reshape(-1, ss.shape[-1])
     flat_th = thetas.reshape(-1, thetas.shape[-1])
     profs = jax.vmap(lambda s, th: st2profile(s, th, T, active=active))(flat_ss, flat_th)

@@ -440,10 +440,10 @@ def msrouse_logL_pallas_sym(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
     arrays — the packed operators are precomputed on host (f64) and cached;
     model arrays are module-level constants in every caller.
 
-    Large Rouse chains (the packed operators are ``(n+2) * (N(N+1)/2)^2``
-    floats; ~20 MB at n=2, N=50) would exhaust VMEM, so those shapes
-    automatically fall back to the dense Pallas kernel (`kalman_pallas`),
-    which they fit.
+    Large Rouse chains (the packed conjugation operators are
+    ``n * (N(N+1)/2)^2`` floats; ~13 MB at n=2, N=50) would exhaust VMEM,
+    so those shapes automatically fall back to the dense Pallas kernel
+    (`kalman_pallas`), which they fit.
     """
     # Shape-only probes: jnp.asarray keeps traced args (e.g. a perturbed s2
     # inside a timing fori_loop) abstract instead of forcing materialization.

@@ -203,6 +203,23 @@ class TestFixedkSampler:
         np.testing.assert_array_almost_equal(
             logsumexp(logpost, axis=0), np.zeros(logpost.shape[1]), decimal=6)
 
+    def test_marginal_posterior_nan_weight_gets_zero_weight(self):
+        """A NaN log-weight (logL=-inf sample whose mixture density also hit
+        -inf) must be dropped, not poison every frame of the marginals —
+        same convention as the evidence sum in amis_update. Regression:
+        the lockstep marginals path fed unmasked log-weights and a single
+        such sample turned the whole (n, T) posterior NaN."""
+        from bild_tpu.amis.sampler import _marginal_posterior
+
+        ss = jnp.asarray([[0.5, 0.5], [0.25, 0.75]])
+        th = jnp.asarray([[0, 1], [1, 0]], dtype=jnp.int32)
+        lw = jnp.asarray([0.0, np.nan])
+        logpost = np.asarray(_marginal_posterior(ss, th, lw, T=4, nStates=2))
+        assert not np.isnan(logpost).any()
+        # only the first sample contributes: profile [0,0,1,1]
+        expect = np.where(np.array([[1, 1, 0, 0], [0, 0, 1, 1]]), 0.0, -np.inf)
+        np.testing.assert_allclose(logpost, expect)
+
     def test_evidence_sanity_vs_exhaustive(self):
         # AMIS evidence should approach the exhaustively-computed evidence
         sampler_ex = FixedkSampler(self.traj, self.model, k=1)

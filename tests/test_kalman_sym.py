@@ -99,6 +99,34 @@ def test_packed_operator_matches_dense_conjugation(rng):
         np.testing.assert_allclose(Ballw[s * N1p + N], w @ B[s], rtol=1e-12)
 
 
+def test_onehot_bf16_selection_is_exact(rng):
+    """The update-selection dot's claim: any float32 array is EXACTLY the
+    sum of three bf16 terms (h1+h2+h3 == x bitwise), and a 0/1 selection
+    matrix applied to the three terms at DEFAULT precision reconstructs
+    the f32 selection bit-exactly — the invariant that lets the kernel
+    halve the update path's MXU passes without moving off the exact-mode
+    parity tier."""
+    import jax.numpy as jnp
+
+    x = rng.normal(size=(32, 64)).astype(np.float32) * \
+        np.exp(rng.uniform(-20, 20, size=(32, 64))).astype(np.float32)
+    r = jnp.asarray(x)
+    terms = []
+    for _ in range(3):
+        h = r.astype(jnp.bfloat16)
+        r = r - h.astype(jnp.float32)
+        terms.append(h)
+    recon = sum(t.astype(np.float32) for t in terms)
+    np.testing.assert_array_equal(np.asarray(recon), x)
+
+    sel = np.zeros((100, 32), dtype=np.float32)
+    sel[np.arange(100), rng.integers(0, 32, size=100)] = 1.0
+    sel_b = jnp.asarray(sel).astype(jnp.bfloat16)
+    out = sum(jnp.dot(sel_b, t, preferred_element_type=jnp.float32)
+              for t in terms)
+    np.testing.assert_array_equal(np.asarray(out), sel @ x)
+
+
 def test_rouse_matmul_knob(rng):
     """The split-bf16 mode is opt-in, validated, and inert under x64 (it
     requires float32 compute, so the CPU test path must stay exact)."""
