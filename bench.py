@@ -9,7 +9,7 @@ kernel call. This is the kernel that dominates every BILD inference
 (reference hot path: ``bild/src/MSRouse_logL.pyx``, called ~20k times per
 k-sampler). The TPU path is the symmetric-packed Pallas kernel
 (``ops/kalman_sym.py``). Throughput is batch-dependent (a fixed ~0.8-1 ms
-per-call cost on this platform): ~150k/s at P=128 up to ~525k/s at P=8192.
+per-call cost on this platform): ~150k/s at P=128 up to ~700k/s at P=8192.
 
 Baseline = the sequential float64 NumPy transcription of the reference
 algorithm (``bild_tpu/ops/oracle.py``) on one host CPU thread, i.e. the

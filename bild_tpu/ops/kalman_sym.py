@@ -17,36 +17,32 @@ dtype). The single GEMM has contraction dimension PP ~ 210 — well matched
 to the MXU — no transpose, and ~half the select/broadcast VPU traffic of
 the dense form.
 
-The Kalman measurement update stays in packed space and costs two cheap
-MXU dots. With ``Gw (N, PP)`` built from the measurement vector w
-(``Cw = Gw c``) and Ea/Eb one-hot selectors of each packed entry's
-row/column index, the update needs Cw, the innovation variance
-``S = w.Cw + s2``, and the packed rank-1 downdate factors ``Ea Cw`` /
-``Eb Cw``. All are linear in c; the small host-precomputed operator
+The Kalman measurement update stays in packed space and costs ONE cheap
+MXU dot. With ``Gw (N, PP)`` built from the measurement vector w
+(``Cw = Gw c``), the small host-precomputed operator
 
     U1 = [Gw; w.Gw]                (8-aligned, ~32 rows)
 
-gives ``R1 = U1 c`` (Cw and S in one contraction-PP dot), and the 2·PP
-downdate rows are ONE-HOT ROW SELECTIONS of R1:
+gives ``R1 = U1 c`` — Cw and the innovation variance ``S = w.Cw + s2``
+in one contraction-PP dot. The packed rank-1 downdate
+``upd[(a,b)] = Cw[a] Cw[b]`` needs NO matmul at all: lexicographic
+packing orders the slots by row-index blocks, so for block a the two
+factors are a one-sublane broadcast times a contiguous slice,
 
-    R2 = Sel R1,   Sel = [Ea; Eb]  (2·PP x rows(U1), entries 0/1)
+    upd rows of block a = Cw[a] * Cw[a:N]        (VPU only)
 
-    S  = R1[S_OFF] + s2,  K = R1[:N] / S,   c' = c - R2_a * R2_b / S
-
-An earlier revision folded Sel into U1 (``U = Sel' U1``, one merged
-464-row GEMM): fewer dots, but the MXU streams rows x passes, so the
-merged form paid 464 rows at HIGHEST's 6 passes per frame. The selection
-form pays 32 rows x 6 + 432 rows x 3: in f32, ``Sel`` is exact in bf16
-(0/1 entries) and R1 splits exactly into three bf16 terms (the same
-decomposition HIGHEST itself uses), so three DEFAULT-precision one-hot
-products reconstruct the f32 selection EXACTLY — bit-identical downdate
-rows at half the passes, ~1.9x less MXU time on the update path. In f64
-the selection runs as a plain HIGHEST dot (still exact — one-hot rows
-just copy). Only the S row changes summation grouping vs the reference
-(~1 ulp). The predicted measurement mean ``m = w.M'`` is folded into the
+and ``c' = c - upd / S``,  ``K = Cw / S``. Two earlier revisions computed
+the downdate rows on the MXU — first as one merged 464-row GEMM folded
+into U1, then as a 432-row one-hot selection dot (three exact
+bf16-DEFAULT products). The broadcast-slice form beats both: it deletes
+~42% of the kernel's MXU row-passes outright (split mode; measured
+736k -> 868k evals/s at the bench shape, exact 600k -> 712k), at
+oracle parity unchanged on both tiers (2.9e-6 exact / 8.9e-6 split).
+Only the S row changes summation grouping vs the reference (~1 ulp).
+The predicted measurement mean ``m = w.M'`` is folded into the
 mean-propagation GEMM as an extra ``w.B_s`` row per state (blocks padded
-to 8 sublanes). Per frame the kernel issues four MXU dots — covariance
-propagation, mean propagation, update contraction, update selection.
+to 8 sublanes). Per frame the kernel issues three MXU dots — covariance
+propagation, mean propagation, update contraction.
 
 Semantics identical to `kalman.msrouse_logL_batch` (reference algorithm:
 ``bild/src/MSRouse_logL.pyx:95-256``); parity is tested against the f64
@@ -96,7 +92,7 @@ def _build_sym_operators(Bs, Gs, Sigs, M0s, C0s, w, pad=8):
     Host-side (numpy, float64) construction of the packed-space operators.
 
     Returns ``(Pall (n*PPp, PPp), sig_pack (n, PPp), c0_pack (n, PPp),
-    U1 (U1Rows, PPp), Sel (2*PPp, U1Rows), Ballw (n*N1p, N),
+    U1 (U1Rows, PPp), Ballw (n*N1p, N),
     Gsw (n, N1p, d), M0w (n, N1p, d), PPp, offsets)`` with ``PPp`` = PP
     padded to a multiple of ``pad`` (zero padding is exact: padded slots
     stay 0 through propagation and never enter Cw),
@@ -138,16 +134,13 @@ def _build_sym_operators(Bs, Gs, Sigs, M0s, C0s, w, pad=8):
         if a != b:
             Gw[b, p] += w[a]
 
-    # update contraction U1 = [Cw rows; S row] and one-hot selection Sel
-    # mapping R1 = U1 c to the 2*PP packed downdate rows (Ea/Eb stacked)
+    # update contraction U1 = [Cw rows; S row]; the packed downdate rows
+    # are broadcast-slice products of Cw in the kernel (module docstring)
     S_OFF = -(-N // pad) * pad
     U1Rows = S_OFF + pad
     U1 = np.zeros((U1Rows, PPp))
     U1[:N] = Gw
     U1[S_OFF] = w @ Gw
-    Sel = np.zeros((2 * PPp, U1Rows))
-    Sel[np.arange(PP), ia] = 1.0       # R2_a[p] = Cw[ia[p]]
-    Sel[PPp + np.arange(PP), ja] = 1.0  # R2_b[p] = Cw[ja[p]]
 
     # mean propagator with a w.B_s row per state (m = w.M' for free);
     # per-state blocks padded to N1p sublanes for aligned slicing
@@ -162,7 +155,7 @@ def _build_sym_operators(Bs, Gs, Sigs, M0s, C0s, w, pad=8):
         Gsw[s, N] = w @ Gs[s]
         M0w[s, :N] = M0s[s]
         M0w[s, N] = w @ M0s[s]
-    return (Pall, sig_pack, c0_pack, U1, Sel, Ballw, Gsw, M0w, PPp,
+    return (Pall, sig_pack, c0_pack, U1, Ballw, Gsw, M0w, PPp,
             (S_OFF, N1p))
 
 
@@ -184,15 +177,11 @@ def sym_operators(Bs, Gs, Sigs, M0s, C0s, w, dtype):
         hit = _build_sym_operators(Bs, Gs, Sigs, M0s, C0s, w)
         _SYM_OPS_CACHE[key] = hit
     *ops, PPp, offs = hit
-    # ops = [Pall, sig_pack, c0_pack, U1, Sel, Ballw, Gsw, M0w]; Sel (0/1
-    # entries) ships as bf16 in f32 mode so its one-hot products run at
-    # DEFAULT precision exactly (see module docstring)
-    sel_dtype = jnp.bfloat16 if dtype == jnp.float32 else dtype
-    return [jnp.asarray(o, dtype=sel_dtype if i == 4 else dtype)
-            for i, o in enumerate(ops)], PPp, offs
+    # ops = [Pall, sig_pack, c0_pack, U1, Ballw, Gsw, M0w]
+    return [jnp.asarray(o, dtype=dtype) for o in ops], PPp, offs
 
 
-def _kernel(Pall_ref, sig_ref, c0_ref, U1_ref, Sel_ref, Ballw_ref, Gsw_ref,
+def _kernel(Pall_ref, sig_ref, c0_ref, U1_ref, Ballw_ref, Gsw_ref,
             M0w_ref, s2_ref, profT_ref, ydata_ref, valid_ref, out_ref,
             c_scr, M_scr, acc_scr, *, n, N, d, q, T, PPp, offs, Cind,
             split_bf16=False, unroll=_SYM_UNROLL, p_tile=P_TILE):
@@ -242,29 +231,20 @@ def _kernel(Pall_ref, sig_ref, c0_ref, U1_ref, Sel_ref, Ballw_ref, Gsw_ref,
 
         return dot(Pall_hi, c_hi) + dot(Pall_hi, c_lo) + dot(Pall_lo, c_hi)
 
-    # ---- Kalman measurement update (contraction dot + selection dot) -----
-    def select_rows(R1):
-        """One-hot expansion R2 = Sel R1 of the packed downdate rows.
+    # ---- Kalman measurement update (one contraction dot + VPU downdate) --
+    def packed_downdate(Cw):
+        """VPU form of the packed downdate ``upd[p] = Cw[ia[p]] Cw[ja[p]]``.
 
-        f32: R1 = h1+h2+h3 exactly (three bf16 terms — the decomposition
-        HIGHEST itself uses) and Sel is exact in bf16, so three DEFAULT
-        one-hot products reconstruct the f32 selection bit-exactly at 3
-        MXU passes. f64: plain HIGHEST dot (one-hot rows just copy).
+        Lexicographic packing makes both factors contiguous per block:
+        for row-index block i the downdate rows are
+        ``Cw[i] * Cw[i:N]`` — a sublane broadcast times a sublane slice.
+        Zero MXU passes; oracle parity identical to the MXU selection
+        forms it replaced (module docstring).
         """
-        dn = (((1,), (0,)), ((), ()))
-        if fdt != jnp.float32:
-            return jax.lax.dot_general(Sel_ref[:], R1, dn,
-                                       preferred_element_type=fdt,
-                                       precision=_KERNEL_PRECISION)
-        Sel_b = Sel_ref[:]
-        R2 = jnp.zeros((2 * PPp, p_tile), fdt)
-        r = R1
-        for _ in range(3):
-            h = r.astype(jnp.bfloat16)
-            r = r - h.astype(fdt)
-            R2 = R2 + jax.lax.dot_general(Sel_b, h, dn,
-                                          preferred_element_type=fdt)
-        return R2
+        blocks = [Cw[i:i + 1] * Cw[i:N] for i in range(N)]
+        if PPp > N * (N + 1) // 2:
+            blocks.append(jnp.zeros((PPp - N * (N + 1) // 2, p_tile), fdt))
+        return jnp.concatenate(blocks, axis=0)                # (PPp, P)
 
     def kalman_update(t):
         Ks = []
@@ -278,8 +258,8 @@ def _kernel(Pall_ref, sig_ref, c0_ref, U1_ref, Sel_ref, Ballw_ref, Gsw_ref,
             S = R1[S_OFF:S_OFF + 1] + s2_ref[0, qi]           # (1, P)
             Sinv = 1.0 / S
             K = R1[:N] * Sinv                                 # (N, P)
-            R2 = select_rows(R1)                              # (2*PPp, P)
-            c_scr[qi] = c - (R2[:PPp] * R2[PPp:]) * Sinv
+            upd = packed_downdate(R1[:N])                     # (PPp, P)
+            c_scr[qi] = c - upd * Sinv
             Ks.append(K)
             Sinvs.append(Sinv)
 
@@ -351,7 +331,7 @@ def _kernel(Pall_ref, sig_ref, c0_ref, U1_ref, Sel_ref, Ballw_ref, Gsw_ref,
 @functools.partial(jax.jit,
                    static_argnames=("PPp", "offs", "Cind_static", "interpret",
                                     "split_bf16", "unroll", "p_tile"))
-def _pallas_call_sym(Pall, sig_pack, c0_pack, U1, Sel, Ballw, Gsw, M0w,
+def _pallas_call_sym(Pall, sig_pack, c0_pack, U1, Ballw, Gsw, M0w,
                      s2, profiles, ydata, valid,
                      PPp, offs, Cind_static, interpret,
                      split_bf16=False, unroll=_SYM_UNROLL, p_tile=P_TILE):
@@ -390,7 +370,6 @@ def _pallas_call_sym(Pall, sig_pack, c0_pack, U1, Sel, Ballw, Gsw, M0w,
             pl.BlockSpec((n, PPp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, PPp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((U1Rows, PPp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * PPp, U1Rows), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n * N1p, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, N1p, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, N1p, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -407,19 +386,19 @@ def _pallas_call_sym(Pall, sig_pack, c0_pack, U1, Sel, Ballw, Gsw, M0w,
             pltpu.VMEM((1, p_tile), fdt),
         ],
         interpret=interpret,
-    )(Pall, sig_pack, c0_pack, U1, Sel, Ballw, Gsw, M0w, s2,
+    )(Pall, sig_pack, c0_pack, U1, Ballw, Gsw, M0w, s2,
       profT, ydata, valid_i32)
     return jnp.where(in_range, out[0, :P_in], jnp.nan)
 
 
 def _sym_vmem_bytes(n, N, d, q, PPp, itemsize=4):
     """Rough VMEM footprint of the sym kernel: the packed conjugation
-    operator dominates (n * PPp^2), plus the update contraction/selection
-    operators, per-q scratch and the P_TILE-wide buffers."""
+    operator dominates (n * PPp^2), plus the update contraction operator,
+    per-q scratch and the P_TILE-wide buffers."""
     u1rows = -(-N // 8) * 8 + 8
     n1p = -(-(N + 1) // 8) * 8
     operands = (n * PPp * PPp + 2 * n * PPp + u1rows * PPp
-                + 2 * PPp * u1rows + n * n1p * (N + 2 * d))
+                + n * n1p * (N + 2 * d))
     scratch = (q * PPp + n1p * d + 1) * P_TILE
     return (operands + scratch) * itemsize
 
@@ -458,10 +437,10 @@ def msrouse_logL_pallas_sym(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
                                    profiles, ydata, valid,
                                    interpret=interpret)
     Cind_static = tuple(int(c) for c in np.asarray(Cind))
-    (Pall, sig_pack, c0_pack, U1, Sel, Ballw, Gsw, M0w), PPp, offs = \
+    (Pall, sig_pack, c0_pack, U1, Ballw, Gsw, M0w), PPp, offs = \
         sym_operators(Bs, Gs, Sigs, M0s, C0s, w, jnp.asarray(Bs).dtype)
     from ..config import rouse_matmul
-    return _pallas_call_sym(Pall, sig_pack, c0_pack, U1, Sel, Ballw, Gsw,
+    return _pallas_call_sym(Pall, sig_pack, c0_pack, U1, Ballw, Gsw,
                             M0w, s2, profiles, ydata, valid,
                             PPp, offs, Cind_static, interpret,
                             split_bf16=(rouse_matmul() == "split"),

@@ -35,8 +35,8 @@ def test_sym_interpret_parity(rng):
 
 def test_sym_interpret_parity_three_states(rng):
     """The config-4 workload shape (3 Rouse states: free, full loop, half
-    loop) through the merged-update kernel — per-state operator stacking
-    and selection must hold beyond n=2."""
+    loop) through the packed-update kernel — per-state operator stacking
+    and the packed downdate must hold beyond n=2."""
     args = _case(rng, N=10, T=30, P=40,
                  looppositions=(None, (0, -1), (0, 4)))
     want = np.asarray(msrouse_logL_batch(*args))
@@ -65,10 +65,10 @@ def test_sym_out_of_range_states_yield_nan(rng):
 
 def test_packed_operator_matches_dense_conjugation(rng):
     """P_s c == pack(B C B^T) for random symmetric C, and the update
-    contraction + selection operators recover Cw, S, and the rank-1
-    factors."""
+    contraction operator + broadcast-slice downdate recover Cw, S, and
+    the rank-1 factors."""
     model = MultiStateRouse(9, 1.0, 4.0, d=1, localization_error=0.2)
-    (Pall, sig, c0, U1, Sel, Ballw, Gsw, M0w, PPp,
+    (Pall, sig, c0, U1, Ballw, Gsw, M0w, PPp,
      (S_OFF, N1p)) = _build_sym_operators(
         model.Bs, model.Gs, model.Sigs, model.M0s, model.C0s, model.w)
     n, N, _ = np.asarray(model.Bs).shape
@@ -83,48 +83,19 @@ def test_packed_operator_matches_dense_conjugation(rng):
         want = (B[s] @ C @ B[s].T)[ia, ja]
         got = (Pall[s * PPp:(s + 1) * PPp] @ c)[: len(ia)]
         np.testing.assert_allclose(got, want, rtol=1e-10)
-    # update operators: contraction R1 = U1 c, then one-hot selection
+    # update operator: contraction R1 = U1 c gives Cw and the S row
     R1 = U1 @ c
     Cw = C @ w
     np.testing.assert_allclose(R1[:N], Cw, rtol=1e-10)         # Gw c == C w
     np.testing.assert_allclose(R1[S_OFF], w @ Cw, rtol=1e-10)  # S row
-    R2 = Sel @ R1
-    np.testing.assert_array_equal(R2[:len(ia)], Cw[ia])        # exact copy
-    np.testing.assert_array_equal(R2[PPp:PPp + len(ia)], Cw[ja])
-    # selection rows are one-hot (exactly representable in bf16)
-    assert set(np.unique(Sel)) <= {0.0, 1.0}
-    assert np.all(Sel.sum(axis=1)[:len(ia)] == 1)
+    # broadcast-slice downdate identity: lexicographic triu packing makes
+    # the rank-1 rows Cw[ia]*Cw[ja] == concat_i(Cw[i] * Cw[i:N]) — the
+    # kernel's zero-MXU form (packed_downdate)
+    upd_blocks = np.concatenate([Cw[i] * Cw[i:N] for i in range(N)])
+    np.testing.assert_array_equal(upd_blocks, Cw[ia] * Cw[ja])
     # mean propagator carries w.B_s as row N of each state block
     for s in range(n):
         np.testing.assert_allclose(Ballw[s * N1p + N], w @ B[s], rtol=1e-12)
-
-
-def test_onehot_bf16_selection_is_exact(rng):
-    """The update-selection dot's claim: any float32 array is EXACTLY the
-    sum of three bf16 terms (h1+h2+h3 == x bitwise), and a 0/1 selection
-    matrix applied to the three terms at DEFAULT precision reconstructs
-    the f32 selection bit-exactly — the invariant that lets the kernel
-    halve the update path's MXU passes without moving off the exact-mode
-    parity tier."""
-    import jax.numpy as jnp
-
-    x = rng.normal(size=(32, 64)).astype(np.float32) * \
-        np.exp(rng.uniform(-20, 20, size=(32, 64))).astype(np.float32)
-    r = jnp.asarray(x)
-    terms = []
-    for _ in range(3):
-        h = r.astype(jnp.bfloat16)
-        r = r - h.astype(jnp.float32)
-        terms.append(h)
-    recon = sum(t.astype(np.float32) for t in terms)
-    np.testing.assert_array_equal(np.asarray(recon), x)
-
-    sel = np.zeros((100, 32), dtype=np.float32)
-    sel[np.arange(100), rng.integers(0, 32, size=100)] = 1.0
-    sel_b = jnp.asarray(sel).astype(jnp.bfloat16)
-    out = sum(jnp.dot(sel_b, t, preferred_element_type=jnp.float32)
-              for t in terms)
-    np.testing.assert_array_equal(np.asarray(out), sel @ x)
 
 
 def test_rouse_matmul_knob(rng):
