@@ -184,7 +184,8 @@ def sym_operators(Bs, Gs, Sigs, M0s, C0s, w, dtype):
 def _kernel(Pall_ref, sig_ref, c0_ref, U1_ref, Ballw_ref, Gsw_ref,
             M0w_ref, s2_ref, profT_ref, ydata_ref, valid_ref, out_ref,
             c_scr, M_scr, acc_scr, *, n, N, d, q, T, PPp, offs, Cind,
-            split_bf16=False, unroll=_SYM_UNROLL, p_tile=P_TILE):
+            split_bf16=False, split_update=True, unroll=_SYM_UNROLL,
+            p_tile=P_TILE):
     fdt = out_ref.dtype
     S_OFF, N1p = offs
 
@@ -208,13 +209,32 @@ def _kernel(Pall_ref, sig_ref, c0_ref, U1_ref, Ballw_ref, Gsw_ref,
     M_scr[:] = Minit
     acc_scr[:] = jnp.zeros((1, p_tile), fdt)
 
-    # split-bf16 operands for the dominant packed-conjugation GEMM (3 MXU
-    # passes instead of HIGHEST's 6; see module comment)
+    # split-bf16 operands for ALL three per-frame dots (3 MXU passes each
+    # instead of HIGHEST's 6; see module comment). The covariance
+    # conjugation dominates, but at split tier the mean propagation and the
+    # update contraction are the residual MXU work (~30% of row-passes), so
+    # the same (hi, lo) decomposition is applied to their static operands.
     split = split_bf16 and fdt == jnp.float32
+    split_upd = split and split_update
     if split:
-        Pall_f = Pall_ref[:]
-        Pall_hi = Pall_f.astype(jnp.bfloat16)
-        Pall_lo = (Pall_f - Pall_hi.astype(fdt)).astype(jnp.bfloat16)
+        def hi_lo(a):
+            a_hi = a.astype(jnp.bfloat16)
+            return a_hi, (a - a_hi.astype(fdt)).astype(jnp.bfloat16)
+
+        Pall_hi, Pall_lo = hi_lo(Pall_ref[:])
+        if split_upd:
+            U1_hi, U1_lo = hi_lo(U1_ref[:])
+            Ballw_hi, Ballw_lo = hi_lo(Ballw_ref[:])
+
+    def split_dot(a_hi, a_lo, b, dn):
+        """3-product split-bf16 f32 dot (b split on the fly)."""
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(fdt)).astype(jnp.bfloat16)
+
+        def dot(x, y):
+            return jax.lax.dot_general(x, y, dn, preferred_element_type=fdt)
+
+        return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
     def prop_dot(c):
         """(n*PPp, PPp) x (PPp, P) covariance-conjugation product."""
@@ -223,13 +243,7 @@ def _kernel(Pall_ref, sig_ref, c0_ref, U1_ref, Ballw_ref, Gsw_ref,
             return jax.lax.dot_general(Pall_ref[:], c, dn,
                                        preferred_element_type=fdt,
                                        precision=_KERNEL_PRECISION)
-        c_hi = c.astype(jnp.bfloat16)
-        c_lo = (c - c_hi.astype(fdt)).astype(jnp.bfloat16)
-
-        def dot(a, b):
-            return jax.lax.dot_general(a, b, dn, preferred_element_type=fdt)
-
-        return dot(Pall_hi, c_hi) + dot(Pall_hi, c_lo) + dot(Pall_lo, c_hi)
+        return split_dot(Pall_hi, Pall_lo, c, dn)
 
     # ---- Kalman measurement update (one contraction dot + VPU downdate) --
     def packed_downdate(Cw):
@@ -249,12 +263,14 @@ def _kernel(Pall_ref, sig_ref, c0_ref, U1_ref, Ballw_ref, Gsw_ref,
     def kalman_update(t):
         Ks = []
         Sinvs = []
+        dn_u = (((1,), (0,)), ((), ()))
         for qi in range(q):
             c = c_scr[qi]                                     # (PPp, P)
-            R1 = jax.lax.dot_general(
-                U1_ref[:], c, (((1,), (0,)), ((), ())),
-                preferred_element_type=fdt,
-                precision=_KERNEL_PRECISION)                  # (U1Rows, P)
+            R1 = (split_dot(U1_hi, U1_lo, c, dn_u) if split_upd
+                  else jax.lax.dot_general(
+                      U1_ref[:], c, dn_u,
+                      preferred_element_type=fdt,
+                      precision=_KERNEL_PRECISION))           # (U1Rows, P)
             S = R1[S_OFF:S_OFF + 1] + s2_ref[0, qi]           # (1, P)
             Sinv = 1.0 / S
             K = R1[:N] * Sinv                                 # (N, P)
@@ -299,10 +315,12 @@ def _kernel(Pall_ref, sig_ref, c0_ref, U1_ref, Ballw_ref, Gsw_ref,
         # mean + measurement mean: M' = B M + G with the w.B_s row riding
         # along per state — all states in ONE GEMM
         M = M_scr[:]                                          # (N1p, d, P)
-        BM_all = jax.lax.dot_general(
-            Ballw_ref[:], M[:N], (((1,), (0,)), ((), ())),
-            preferred_element_type=fdt,
-            precision=_KERNEL_PRECISION)                      # (n*N1p, d, P)
+        dn_m = (((1,), (0,)), ((), ()))
+        BM_all = (split_dot(Ballw_hi, Ballw_lo, M[:N], dn_m) if split_upd
+                  else jax.lax.dot_general(
+                      Ballw_ref[:], M[:N], dn_m,
+                      preferred_element_type=fdt,
+                      precision=_KERNEL_PRECISION))           # (n*N1p, d, P)
         Mp = ((BM_all[0:N1p] + Gsw_ref[0][:, :, None]) * bcast(masks[0]))
         for s in range(1, n):
             Mp = Mp + ((BM_all[s * N1p:(s + 1) * N1p]
@@ -330,11 +348,13 @@ def _kernel(Pall_ref, sig_ref, c0_ref, U1_ref, Ballw_ref, Gsw_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("PPp", "offs", "Cind_static", "interpret",
-                                    "split_bf16", "unroll", "p_tile"))
+                                    "split_bf16", "split_update", "unroll",
+                                    "p_tile"))
 def _pallas_call_sym(Pall, sig_pack, c0_pack, U1, Ballw, Gsw, M0w,
                      s2, profiles, ydata, valid,
                      PPp, offs, Cind_static, interpret,
-                     split_bf16=False, unroll=_SYM_UNROLL, p_tile=P_TILE):
+                     split_bf16=False, split_update=True,
+                     unroll=_SYM_UNROLL, p_tile=P_TILE):
     n = sig_pack.shape[0]
     N = Ballw.shape[1]
     d = Gsw.shape[2]
@@ -357,8 +377,8 @@ def _pallas_call_sym(Pall, sig_pack, c0_pack, U1, Ballw, Gsw, M0w,
 
     kernel = functools.partial(
         _kernel, n=n, N=N, d=d, q=q, T=T, PPp=PPp, offs=offs,
-        Cind=Cind_static, split_bf16=split_bf16, unroll=unroll,
-        p_tile=p_tile)
+        Cind=Cind_static, split_bf16=split_bf16, split_update=split_update,
+        unroll=unroll, p_tile=p_tile)
 
     grid = (P // p_tile,)
 
