@@ -69,7 +69,7 @@ P_TILE = 128
 _SYM_UNROLL = 1
 _KERNEL_PRECISION = jax.lax.Precision.HIGHEST
 
-# Split-bf16 covariance propagation (float32 compute only; opt-in via
+# Split-bf16 matmuls (float32 compute only; opt-in via
 # `config.set_rouse_matmul('split')`). On TPU an f32 dot at
 # Precision.HIGHEST costs 6 MXU passes; splitting both operands into bf16
 # (hi, lo) pairs and summing three DEFAULT-precision products
@@ -77,8 +77,13 @@ _KERNEL_PRECISION = jax.lax.Precision.HIGHEST
 # costs 3 passes. The bf16 PAIR carries 16 mantissa bits, so this mode's
 # parity floor vs the f64 oracle is ~9e-6 relative (measured; exact mode:
 # ~3e-6, the plain f32-storage floor — a 4th lo.lo pass does NOT recover
-# it, measured 7.9e-6, which is why no 4-pass mode exists). +23% kernel
-# throughput; see DESIGN.md 7g for when that trade is right.
+# it, measured 7.9e-6, which is why no 4-pass mode exists). The split is
+# applied to ALL THREE per-frame dots — once the dominant covariance
+# conjugation is split, the update contraction and mean-propagation GEMMs
+# are the residual MXU work (~30% of row-passes). Measured at the bench
+# shape: exact 716k, split 1,000k evals/s (within ~7% of the plain-bf16
+# ceiling marker at 5x tighter parity); see DESIGN.md 7g for when that
+# trade is right.
 
 
 def _pack_indices(N):

@@ -118,6 +118,31 @@ def test_rouse_matmul_knob(rng):
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
+def test_rouse_matmul_split_f32_numerics(rng):
+    """Numeric parity of the split-bf16 mode where it is actually ACTIVE
+    (float32 operands, interpret mode): all three per-frame dots run the
+    3-product (hi, lo) decomposition, which floors at ~2^-17 relative —
+    well inside 2e-4 of the x64 oracle over T=40 accumulated frames (the
+    TPU drive measures ~7e-5 on the standard case)."""
+    from bild_tpu import config
+
+    args = _case(rng)
+    want = np.asarray(msrouse_logL_batch(*args))          # x64 oracle
+    args32 = tuple(jnp.asarray(a, jnp.float32)
+                   if jnp.asarray(a).dtype == jnp.float64 else a
+                   for a in args)
+    exact32 = np.asarray(msrouse_logL_pallas_sym(*args32, interpret=True))
+    try:
+        config.set_rouse_matmul("split")
+        split32 = np.asarray(msrouse_logL_pallas_sym(*args32, interpret=True))
+    finally:
+        config.set_rouse_matmul("exact")
+    assert not np.array_equal(split32, exact32), \
+        "split mode was inert on f32 operands"
+    np.testing.assert_allclose(exact32, want, rtol=5e-5)
+    np.testing.assert_allclose(split32, want, rtol=2e-4)
+
+
 def test_sym_unroll_and_p_tile_parity(rng):
     """The hardware-sweep knobs (manual frame unroll, profile tile width)
     must not change values: the unroll remainder path (T-1 not divisible
