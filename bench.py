@@ -92,11 +92,17 @@ def main():
     # with block_until_ready is unreliable (returns early in some program
     # states), so the repeat loop lives on device and the wall clock spans a
     # single dispatch + final host fetch.
+    import functools
+
+    from bild_tpu.config import resolve_matmul
     from bild_tpu.ops.kalman_sym import msrouse_logL_pallas_sym
 
     s2, Cind = model._noise_arrays(traj)
     profiles_dev = jnp.asarray(profiles)
-    kernel = (msrouse_logL_pallas_sym
+    # the shipped dataset-mode default: config 'auto' resolves to the
+    # split-bf16 tier in the lockstep context (what sample_dataset runs)
+    kernel = (functools.partial(msrouse_logL_pallas_sym,
+                                matmul=resolve_matmul("lockstep"))
               if jax.default_backend() not in ("cpu",) else msrouse_logL_batch)
 
     n_rep = 10

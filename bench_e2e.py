@@ -299,26 +299,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="2,3,4,6,7")
     ap.add_argument("--out", default="PERF.json")
-    ap.add_argument("--matmul", default="exact", choices=("exact", "split"),
+    ap.add_argument("--matmul", default="auto",
+                    choices=("auto", "exact", "split", "split_cov"),
                     help="Rouse-kernel matmul mode (config.set_rouse_matmul);"
-                         " 'split' is the +25%% throughput / 9e-6-parity"
-                         " production tier (DESIGN.md 7g)")
+                         " 'auto' (the shipped default) runs the split-bf16"
+                         " tier on the lockstep dataset path and exact"
+                         " elsewhere (DESIGN.md 7g)")
     args = ap.parse_args()
 
     from bild_tpu.config import enable_compilation_cache, set_rouse_matmul
     enable_compilation_cache()
     set_rouse_matmul(args.matmul)
-    suffix = "" if args.matmul == "exact" else "_split"
+    # shipped defaults get plain result keys; explicit tiers are suffixed
+    suffix = "" if args.matmul == "auto" else f"_{args.matmul}"
 
     runners = {"2": config2, "3": config3, "4": config4, "5": config5,
                "5p": lambda: config5(postproc=True), "6": config6,
                "7": config7}
     results = {}
-    for c in args.configs.split(","):
+    for c in (x.strip() for x in args.configs.split(",")):
+        if c not in runners:
+            raise SystemExit(f"unknown config {c!r}; valid configs: "
+                             f"{', '.join(runners)}")
         print(f"== config {c}{suffix} ==", flush=True)
         r = runners[c]()
-        if suffix:
-            r["matmul"] = args.matmul
+        r["matmul"] = args.matmul
         results[c + suffix] = r
         print(json.dumps(r), flush=True)
 

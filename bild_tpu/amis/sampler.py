@@ -359,7 +359,11 @@ def _marginal_posterior(ss, thetas, log_weights, *, T: int, nStates: int,
     NaN log-weights mark inconsistent points (``logL = -inf`` against a
     ``logdelta = -inf`` mixture density) and get zero weight — the same
     convention `amis_update` applies before the evidence sum; without it a
-    single such sample poisons every frame of the marginals."""
+    single such sample poisons every frame of the marginals. If EVERY
+    weight in the ensemble is NaN/-inf (no finite-likelihood sample at
+    all), the posterior is all ``-inf`` rather than the raw
+    ``-inf - (-inf) = NaN`` — a defined "no information" marker that the
+    matching all ``-inf`` evidence already signals."""
     log_weights = jnp.where(jnp.isnan(log_weights), _NEG_INF, log_weights)
     flat_ss = ss.reshape(-1, ss.shape[-1])
     flat_th = thetas.reshape(-1, thetas.shape[-1])
@@ -367,7 +371,8 @@ def _marginal_posterior(ss, thetas, log_weights, *, T: int, nStates: int,
     indic = profs[:, None, :] == jnp.arange(nStates)[None, :, None]
     logpost = jax.scipy.special.logsumexp(
         log_weights.reshape(-1)[:, None, None], b=indic, axis=0)
-    return logpost - jax.scipy.special.logsumexp(logpost, axis=0)
+    norm = jax.scipy.special.logsumexp(logpost, axis=0)
+    return jnp.where(jnp.isfinite(norm), logpost - norm, _NEG_INF)
 
 
 class FixedkSampler:

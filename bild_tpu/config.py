@@ -15,7 +15,7 @@ import numpy as np
 
 __all__ = ["fdtype", "idtype", "MATMUL_PRECISION",
            "rouse_kernel", "set_rouse_kernel",
-           "rouse_matmul", "set_rouse_matmul",
+           "rouse_matmul", "set_rouse_matmul", "resolve_matmul",
            "enable_compilation_cache"]
 
 # Precision for the small dense matmuls in the Kalman recursion. These are
@@ -47,25 +47,49 @@ def set_rouse_kernel(name: str) -> None:
 
 
 # Rouse-kernel matmul mode (float32 TPU compute only):
-#   'exact' (default) — Precision.HIGHEST dots (6 MXU passes); parity vs
-#       the f64 oracle at the plain f32-storage floor (~3e-6 relative),
-#       the BASELINE.md contract tier.
-#   'split' — split-bf16 3-pass covariance conjugation: +23% kernel
-#       throughput at a ~9e-6 parity floor (the bf16 pair carries 16
-#       mantissa bits). Right for production dataset runs where the AMIS
-#       evidence SEM (~0.01-0.1 nats) dwarfs the ~3e-3-nat logL error;
-#       wrong for parity validation. See DESIGN.md 7g.
-_ROUSE_MATMUL = "exact"
+#   'auto' (default) — context-resolved: 'split' on the lockstep dataset
+#       path (`sample_batch`/`sample_dataset`), 'exact' everywhere else
+#       (single-trajectory adaptive mode, direct `logL_batch` calls,
+#       parity validation). Rationale: at the 10k-trajectory benchmark the
+#       split tier is +32% end-to-end (127.8 vs 95.9 traj/s, PERF_r03) at
+#       IDENTICAL frame/switch accuracy — the AMIS evidence SEM
+#       (~0.01-0.1 nats) dwarfs the ~3e-3-nat split-tier logL error — so
+#       dataset sweeps ship it by default; single-profile evaluations keep
+#       the tighter tier because they cost nothing to keep exact.
+#   'exact' — Precision.HIGHEST dots (6 MXU passes); parity vs the f64
+#       oracle at the plain f32-storage floor (~3e-6 relative), the
+#       BASELINE.md contract tier.
+#   'split' — split-bf16 3-pass dots everywhere: +40% kernel throughput
+#       (712k -> 1,000k evals/s at the bench shape) at a ~9e-6 parity
+#       floor (the bf16 pair carries 16 mantissa bits).
+#   'split_cov' — split covariance conjugation only, exact update
+#       contraction + mean propagation: the intermediate tier (most of the
+#       split speedup, smaller parity give-up). See DESIGN.md 7g.
+_ROUSE_MATMUL = "auto"
+
+_MATMUL_MODES = ("auto", "exact", "split", "split_cov")
 
 
 def rouse_matmul() -> str:
     return _ROUSE_MATMUL
 
 
+def resolve_matmul(context: str = "single") -> str:
+    """Resolve the configured matmul mode for a dispatch context:
+    ``'lockstep'`` (dataset/batch sweeps) or ``'single'`` (adaptive mode,
+    direct calls, validation). Only ``'auto'`` is context-dependent."""
+    if context not in ("lockstep", "single"):
+        raise ValueError(f"unknown matmul context {context!r}")
+    if _ROUSE_MATMUL == "auto":
+        return "split" if context == "lockstep" else "exact"
+    return _ROUSE_MATMUL
+
+
 def set_rouse_matmul(mode: str) -> None:
     global _ROUSE_MATMUL
-    if mode not in ("exact", "split"):
-        raise ValueError(f"rouse_matmul must be 'exact' or 'split', got {mode!r}")
+    if mode not in _MATMUL_MODES:
+        raise ValueError(f"rouse_matmul must be one of {_MATMUL_MODES}, "
+                         f"got {mode!r}")
     _ROUSE_MATMUL = mode
 
 

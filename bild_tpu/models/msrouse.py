@@ -14,7 +14,8 @@ import scipy.stats
 import jax
 import jax.numpy as jnp
 
-from ..config import fdtype, rouse_kernel, rouse_matmul, MATMUL_PRECISION
+from ..config import (fdtype, rouse_kernel, resolve_matmul,
+                      MATMUL_PRECISION)
 from ..physics.rouse import RouseModel
 from ..profiles import Loopingprofile
 from ..trajectory import Trajectory
@@ -23,14 +24,17 @@ from ..ops.kalman_pallas import msrouse_logL_pallas
 from ..ops.kalman_sym import msrouse_logL_pallas_sym
 
 
-def _select_kernel(dtype):
+def _select_kernel(dtype, matmul="exact"):
     """TPU f32 kernel per `bild_tpu.config.rouse_kernel()`; the XLA scan
-    everywhere else (CPU, x64)."""
+    everywhere else (CPU, x64). ``matmul`` is the RESOLVED dot tier
+    (``config.resolve_matmul``) and is folded into the sym kernel only —
+    the dense/XLA kernels are always exact."""
     if dtype != jnp.float32 or jax.default_backend() in ("cpu",):
         return msrouse_logL_batch
     name = rouse_kernel()
     if name == "sym":
-        return msrouse_logL_pallas_sym
+        import functools
+        return functools.partial(msrouse_logL_pallas_sym, matmul=matmul)
     if name == "dense":
         return msrouse_logL_pallas
     return msrouse_logL_batch
@@ -155,7 +159,7 @@ class MultiStateRouse(MultiStateModel):
         profiles = jnp.asarray(profiles, dtype=jnp.int32)
         args = (self.Bs, self.Gs, self.Sigs, self.M0s, self.C0s,
                 self.w, s2, Cind, profiles, traj.data, traj.valid)
-        kern = _select_kernel(self.Bs.dtype)
+        kern = _select_kernel(self.Bs.dtype, resolve_matmul("single"))
         return kern(*args)
 
     def logL_batch_assoc(self, profiles, traj, mesh=None, time_axis="time"):
@@ -210,8 +214,12 @@ class MultiStateRouse(MultiStateModel):
             self._lockstep_fns_cache = {}
         # key on BOTH kernel knobs: downstream runner caches (and their jits)
         # key on this closure's identity, so a config change must produce a
-        # fresh closure or it would silently reuse the old compiled mode
-        kname = (rouse_kernel(), rouse_matmul())
+        # fresh closure or it would silently reuse the old compiled mode.
+        # Dataset sweeps are the 'lockstep' matmul context: config 'auto'
+        # (the default) resolves to the split-bf16 tier here — measured +32%
+        # end-to-end at identical inference accuracy (DESIGN.md 7g).
+        mm = resolve_matmul("lockstep")
+        kname = (rouse_kernel(), mm)
         if kname not in self._lockstep_fns_cache:
             unique, Cind = np.unique(self.localization_error, return_inverse=True)
             s2 = jnp.asarray(unique**2, dtype=fdtype())
@@ -220,7 +228,7 @@ class MultiStateRouse(MultiStateModel):
             Bs, Gs, Sigs, M0s, C0s, w = (self.Bs, self.Gs, self.Sigs,
                                          self.M0s, self.C0s, self.w)
 
-            kern = _select_kernel(Bs.dtype)
+            kern = _select_kernel(Bs.dtype, mm)
 
             def logL_fn(profiles, per_traj):
                 ydata, valid = per_traj
@@ -242,7 +250,7 @@ class MultiStateRouse(MultiStateModel):
         ``logL_fn`` is cached per noise configuration so downstream jit
         caches (the fused AMIS step) stay warm across sampler instances."""
         err_key = (tuple(self._get_noise(traj).tolist()), rouse_kernel(),
-                   rouse_matmul())
+                   resolve_matmul("single"))
         if not hasattr(self, "_single_fns"):
             self._single_fns = {}
         if err_key not in self._single_fns:
@@ -253,7 +261,7 @@ class MultiStateRouse(MultiStateModel):
             s2, Cind = self._noise_arrays(traj)
             Bs, Gs, Sigs, M0s, C0s, w = (self.Bs, self.Gs, self.Sigs,
                                          self.M0s, self.C0s, self.w)
-            fn = _select_kernel(Bs.dtype)
+            fn = _select_kernel(Bs.dtype, resolve_matmul("single"))
 
             def logL_fn(profiles, per_traj):
                 ydata, valid = per_traj

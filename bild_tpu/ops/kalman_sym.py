@@ -437,12 +437,22 @@ _SYM_VMEM_LIMIT = 12 * 2**20
 
 def msrouse_logL_pallas_sym(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
                             profiles, ydata, valid, interpret=False,
-                            unroll=_SYM_UNROLL, p_tile=P_TILE):
+                            unroll=_SYM_UNROLL, p_tile=P_TILE,
+                            matmul=None):
     """
     Drop-in equivalent of `kalman.msrouse_logL_batch` backed by the
     symmetric-packed Pallas kernel. Requires CONCRETE (non-traced) model
     arrays — the packed operators are precomputed on host (f64) and cached;
     model arrays are module-level constants in every caller.
+
+    ``matmul`` selects the f32 dot tier: ``'exact'`` (HIGHEST-precision, the
+    parity tier), ``'split'`` (all three per-frame dots as 3-pass split-bf16,
+    the dataset-throughput tier), or ``'split_cov'`` (split the dominant
+    covariance conjugation only, keep the update contraction and mean
+    propagation exact — the intermediate tier). ``None`` (default) resolves
+    from `bild_tpu.config.rouse_matmul` in the ``'single'`` context, so a
+    config of ``'auto'`` means ``'exact'`` here; the lockstep dataset path
+    resolves its own context (see ``config.resolve_matmul``).
 
     Large Rouse chains (the packed conjugation operators are
     ``n * (N(N+1)/2)^2`` floats; ~13 MB at n=2, N=50) would exhaust VMEM,
@@ -464,9 +474,15 @@ def msrouse_logL_pallas_sym(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
     Cind_static = tuple(int(c) for c in np.asarray(Cind))
     (Pall, sig_pack, c0_pack, U1, Ballw, Gsw, M0w), PPp, offs = \
         sym_operators(Bs, Gs, Sigs, M0s, C0s, w, jnp.asarray(Bs).dtype)
-    from ..config import rouse_matmul
+    if matmul is None:
+        from ..config import resolve_matmul
+        matmul = resolve_matmul("single")
+    if matmul not in ("exact", "split", "split_cov"):
+        raise ValueError(f"matmul must be 'exact'|'split'|'split_cov', "
+                         f"got {matmul!r}")
     return _pallas_call_sym(Pall, sig_pack, c0_pack, U1, Ballw, Gsw,
                             M0w, s2, profiles, ydata, valid,
                             PPp, offs, Cind_static, interpret,
-                            split_bf16=(rouse_matmul() == "split"),
+                            split_bf16=(matmul != "exact"),
+                            split_update=(matmul == "split"),
                             unroll=unroll, p_tile=p_tile)

@@ -60,13 +60,16 @@ def test_Dn_matches_KLD_moreSamples():
 def test_init_sample_redraws():
     cs = _cs([0.0, 0.1, 0.2])
     before = cs.evaluate().copy()
+    curves_before = cs._curves.copy()
     counts_before = cs.counts0.copy()
     cs.init_sample()
     after = cs.evaluate()
     # new draws from the same generator stream: same shape/semantics,
-    # different sample; counts0 is refreshed consistently
+    # different sample; counts0 is refreshed consistently. Compare the
+    # cached continuous curves (almost surely distinct) rather than the
+    # discretized picks, which can legitimately coincide.
     assert before.shape == after.shape
-    assert np.any(before != after)
+    assert np.any(curves_before != cs._curves)
     np.testing.assert_array_equal(cs.counts0, cs._tally(after))
     assert np.sum(cs.counts0) == cs.samplesize == np.sum(counts_before)
 

@@ -99,22 +99,29 @@ def test_packed_operator_matches_dense_conjugation(rng):
 
 
 def test_rouse_matmul_knob(rng):
-    """The split-bf16 mode is opt-in, validated, and inert under x64 (it
-    requires float32 compute, so the CPU test path must stay exact)."""
+    """The split-bf16 mode is validated and inert under x64 (it requires
+    float32 compute, so the CPU test path must stay exact). The shipped
+    default is 'auto': split on the lockstep dataset path, exact for
+    single-trajectory/validation dispatches."""
     import pytest
     from bild_tpu import config
 
-    assert config.rouse_matmul() == "exact"
+    assert config.rouse_matmul() == "auto"
+    assert config.resolve_matmul("lockstep") == "split"
+    assert config.resolve_matmul("single") == "exact"
     with pytest.raises(ValueError, match="rouse_matmul"):
         config.set_rouse_matmul("bf16")
+    with pytest.raises(ValueError, match="context"):
+        config.resolve_matmul("dataset")
     args = _case(rng, N=8, T=12, P=3, missing=())
     want = np.asarray(msrouse_logL_pallas_sym(*args, interpret=True))
     try:
         config.set_rouse_matmul("split")
+        assert config.resolve_matmul("single") == "split"
         # x64 compute: the split branch is skipped, results stay exact
         got = np.asarray(msrouse_logL_pallas_sym(*args, interpret=True))
     finally:
-        config.set_rouse_matmul("exact")
+        config.set_rouse_matmul("auto")
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
@@ -135,12 +142,25 @@ def test_rouse_matmul_split_f32_numerics(rng):
     try:
         config.set_rouse_matmul("split")
         split32 = np.asarray(msrouse_logL_pallas_sym(*args32, interpret=True))
+        config.set_rouse_matmul("split_cov")
+        splitcov32 = np.asarray(msrouse_logL_pallas_sym(*args32,
+                                                        interpret=True))
     finally:
-        config.set_rouse_matmul("exact")
+        config.set_rouse_matmul("auto")
     assert not np.array_equal(split32, exact32), \
         "split mode was inert on f32 operands"
+    assert not np.array_equal(splitcov32, exact32), \
+        "split_cov mode was inert on f32 operands"
+    # split_cov keeps the update contraction exact: distinct from full split
+    assert not np.array_equal(splitcov32, split32)
     np.testing.assert_allclose(exact32, want, rtol=5e-5)
     np.testing.assert_allclose(split32, want, rtol=2e-4)
+    np.testing.assert_allclose(splitcov32, want, rtol=2e-4)
+    # the explicit matmul argument overrides config (config is 'auto' here,
+    # which resolves to 'exact' for direct calls)
+    via_arg = np.asarray(msrouse_logL_pallas_sym(*args32, interpret=True,
+                                                 matmul="split"))
+    np.testing.assert_array_equal(via_arg, split32)
 
 
 def test_sym_unroll_and_p_tile_parity(rng):

@@ -58,11 +58,18 @@ def parse_rst(text):
                     sect.append(cells(lines[j]))
                 j += 1
             if len(sections) == 2 and sections[0]:
-                header = sections[0][0]
+                # multi-row headers join cell-wise (continuation lines)
+                header = [" ".join(filter(None, col)).strip()
+                          for col in zip(*sections[0])]
                 blocks.append(("table", header, sections[1]))
                 i = j + 1
                 continue
-            # not a complete table: fall through to paragraph handling
+            # malformed/unclosed table: fail loudly so the docs-build test
+            # catches the regression instead of emitting the border line as
+            # a paragraph
+            raise ValueError(
+                f"malformed simple table (border without a complete "
+                f"header/body): {line.strip()!r}")
         # section titles: text underlined with = or -
         if line.strip() and re.fullmatch(r"[=\-~^]{3,}", nxt.strip() or "x") \
                 and len(nxt.strip()) >= len(line.strip()):
