@@ -462,8 +462,19 @@ def sample_batch(model, batch: TrajectoryBatch,
     -inf, matching adaptive mode's ``k >= len(traj)`` guard even when the
     trajectory is padded into a longer bucket.
     """
+    multiproc = False
+    if mesh is not None:
+        from .mesh import is_multiprocess
+        multiproc = is_multiprocess(mesh)
     if key is None:
-        key = jax.random.key(np.random.randint(2**31))
+        # multi-process: the default key must be IDENTICAL on every process
+        # (divergent keys would desynchronize the SPMD host programs), so
+        # process 0's draw is broadcast
+        seed = np.random.randint(2**31)
+        if multiproc:
+            from .mesh import broadcast_from_process0
+            seed = int(broadcast_from_process0(np.int64(seed)))
+        key = jax.random.key(seed)
     if checkpoint is not None and scout_steps is not None:
         raise ValueError("scout_steps (two-phase schedule) cannot be "
                          "combined with checkpoint (per-k resume)")
@@ -520,6 +531,15 @@ def sample_batch(model, batch: TrajectoryBatch,
                 np.full((B, n, T), -np.inf),
                 np.ones(B, dtype=bool))
 
+    # np.array (not asarray): jax arrays view as read-only, refine writes.
+    # Multi-process outputs are global (non-addressable) and go through the
+    # replicating fetch so every process holds the full results.
+    if multiproc:
+        from .mesh import fetch_to_host
+        _fetch = lambda x: np.array(fetch_to_host(x, mesh))
+    else:
+        _fetch = np.array
+
     if checkpoint is None:
         # one dispatch for ALL k: per-k host prep and device sync gaps would
         # otherwise serialize steps_per_k * (k_max+1) small programs.
@@ -539,6 +559,9 @@ def sample_batch(model, batch: TrajectoryBatch,
         keys = []
         for _ in ks:
             key, sub = jax.random.split(key)
+            # NB: filler rows from a mesh pad get the natural key suffix —
+            # jax.random.split has the prefix property (split(k, B)[:B0] ==
+            # split(k, B0)), so real rows' keys are pad-invariant
             keys.append(jax.random.split(sub, B))
         keys = jnp.stack(keys)
         out = runner(
@@ -549,11 +572,10 @@ def sample_batch(model, batch: TrajectoryBatch,
         else:
             (ev_all, map_all, marg_all, mom_all,
              scout_state, keys_out) = out
-        # np.array (not asarray): jax arrays view as read-only, refine writes
-        ev_all, map_all = np.array(ev_all), np.array(map_all)
-        mom_all = np.array(mom_all)
+        ev_all, map_all = _fetch(ev_all), _fetch(map_all)
+        mom_all = _fetch(mom_all)
         if marginals:
-            marg_all = np.array(marg_all)
+            marg_all = _fetch(marg_all)
 
         R = 0 if scout_steps is None else max(0, min(refine_top, len(ks)))
         if R > 0:
@@ -599,11 +621,11 @@ def sample_batch(model, batch: TrajectoryBatch,
                 sel_state, keys_sel, per_traj_R, transitions,
                 jnp.asarray(active_sel),
                 jnp.asarray(logprior_sel, dtype=dtype), cb, pb)
-            ev_r = np.asarray(ev_r).reshape(R, B, 3)
-            map_r = np.asarray(map_r).reshape(R, B, T)
-            mom_r = np.asarray(mom_r).reshape(R, B)
+            ev_r = _fetch(ev_r).reshape(R, B, 3)
+            map_r = _fetch(map_r).reshape(R, B, T)
+            mom_r = _fetch(mom_r).reshape(R, B)
             if marginals:
-                marg_r = np.asarray(marg_r).reshape(R, B, n, T)
+                marg_r = _fetch(marg_r).reshape(R, B, n, T)
             for r in range(R):
                 ev_all[kb[r], np.arange(B)] = ev_r[r]
                 map_all[kb[r], np.arange(B)] = map_r[r]
@@ -653,6 +675,12 @@ def sample_batch(model, batch: TrajectoryBatch,
             key = jax.random.wrap_key_data(ck["key_data"])
 
         def save_checkpoint(next_k):
+            # exactly-once I/O under multi-process launch: only process 0
+            # writes (all processes hold identical results; resume requires
+            # the checkpoint to be readable by every process, i.e. a shared
+            # filesystem — or single-process resume)
+            if multiproc and jax.process_index() != 0:
+                return
             tmp = f"{checkpoint}.tmp"
             np.savez(tmp, config=config, next_k=next_k,
                      evs=np.stack(evs), maps=np.stack(maps),
@@ -684,11 +712,11 @@ def sample_batch(model, batch: TrajectoryBatch,
                                                 a0, logp0, a_inf, logp_inf,
                                                 use_inf, active, logprior,
                                                 cb, pb)
-            evs.append(np.asarray(ev_k))
-            maps.append(np.asarray(map_k))
-            moms.append(np.asarray(mom_k))
+            evs.append(_fetch(ev_k))
+            maps.append(_fetch(map_k))
+            moms.append(_fetch(mom_k))
             if marginals:
-                margs.append(np.asarray(marg_k))
+                margs.append(_fetch(marg_k))
             save_checkpoint(k + 1)
 
     evs = np.stack(evs, axis=1)          # (B, K+1, 3)

@@ -126,9 +126,28 @@ def sample_dataset(model, trajs: Sequence,
         with per-trajectory ``eliminated`` flags.
 
     Returns `DatasetResults` in the original trajectory order.
+
+    Multi-host execution: pass a process-spanning ``mesh``
+    (``make_mesh(distributed=True)``) and launch this SAME call on every
+    process with the IDENTICAL dataset, configuration, and key (a ``None``
+    key is made safe by broadcasting process 0's draw). Each chunk then
+    runs as one global SPMD program whose batch axis spans all hosts'
+    devices; host-side prep and result assembly execute identically on
+    every process, and every process returns the same full
+    `DatasetResults`. Checkpoint files are written by process 0 only
+    (exactly-once I/O); resume requires ``checkpoint_dir`` on a filesystem
+    readable by every process. Divergent datasets/configurations across
+    processes are detected at entry and raise.
     """
+    multiproc = False
+    if mesh is not None:
+        from .mesh import broadcast_from_process0, is_multiprocess
+        multiproc = is_multiprocess(mesh)
     if key is None:
-        key = jax.random.key(np.random.randint(2**31))
+        seed = np.random.randint(2**31)
+        if multiproc:
+            seed = int(broadcast_from_process0(np.int64(seed)))
+        key = jax.random.key(seed)
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
 
@@ -136,6 +155,21 @@ def sample_dataset(model, trajs: Sequence,
                        informed_init, marginals, chunk_size,
                        bool(optimize_boundaries), float(dE),
                        np.asarray(jax.random.key_data(key)).tolist()))
+
+    if multiproc:
+        # SPMD guard: every process must be walking the identical dataset +
+        # configuration, or the per-chunk global programs would diverge
+        # (wrong results at best, a collective deadlock at worst)
+        h = hashlib.sha256(config_str.encode())
+        for t in trajs:
+            h.update(np.ascontiguousarray(np.asarray(t.data)).tobytes())
+            h.update(np.ascontiguousarray(np.asarray(t.valid)).tobytes())
+        digest = np.frombuffer(h.digest()[:8], dtype=np.int64)[0]
+        if int(broadcast_from_process0(digest)) != int(digest):
+            raise ValueError(
+                "sample_dataset multi-process launch diverged: this "
+                "process's (dataset, configuration, key) differs from "
+                "process 0's — every process must pass identical inputs")
 
     B_total = len(trajs)
     K1 = k_max + 1
@@ -171,7 +205,18 @@ def sample_dataset(model, trajs: Sequence,
         if checkpoint_dir is not None:
             tag = _chunk_tag(indices, sub, config_str)
             ck_path = os.path.join(checkpoint_dir, f"chunk_{tag}.npz")
-            if os.path.exists(ck_path):
+            hit = os.path.exists(ck_path)
+            if multiproc:
+                # process 0 decides (exactly-once semantics even if hosts
+                # see different filesystems); a hit every process cannot
+                # read is a hard error rather than silent recompute
+                hit = bool(broadcast_from_process0(np.int64(hit)))
+                if hit and not os.path.exists(ck_path):
+                    raise FileNotFoundError(
+                        f"process 0 has checkpoint {ck_path} but this "
+                        f"process cannot read it; multi-process resume "
+                        f"needs checkpoint_dir on a shared filesystem")
+            if hit:
                 loaded = np.load(ck_path)
 
         if loaded is not None:
@@ -196,7 +241,8 @@ def sample_dataset(model, trajs: Sequence,
                 from ..postproc import optimize_boundary_batch
                 opt, elim = optimize_boundary_batch(res.best_profile(dE),
                                                     sub, model)
-            if ck_path is not None:
+            if ck_path is not None and not (multiproc
+                                            and jax.process_index() != 0):
                 tmp = ck_path + ".tmp.npz"
                 np.savez(tmp, evidence=ev, evidence_se=se,
                          map_profiles=maps,

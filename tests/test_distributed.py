@@ -44,6 +44,150 @@ def _free_port():
         return s.getsockname()[1]
 
 
+# Shared dataset builder: executed verbatim in the workers AND in the parent
+# test process, so the multi-process run faces the identical inputs as the
+# single-process reference run.
+_DATASET_SRC = textwrap.dedent("""
+    import numpy as np
+    import jax
+    from scipy import stats as sp_stats
+    from bild_tpu.models import FactorizedModel
+
+    def build_dataset():
+        # the magnitude draws use scipy's global RNG: seed it so every
+        # process (and the parent test) builds the identical dataset
+        np.random.seed(180355)
+        model = FactorizedModel([sp_stats.maxwell(scale=0.1),
+                                 sp_stats.maxwell(scale=1)], d=1)
+        lengths = [8, 14, 8, 11, 14, 8]
+        trajs = []
+        for i, T in enumerate(lengths):
+            prof = np.zeros(T, dtype=int)
+            if i % 2 == 1:
+                prof[T // 2:] = 1
+            trajs.append(model.trajectory_from_loopingprofile(
+                prof, key=jax.random.key(50 + i)))
+        return model, trajs
+
+    DATASET_KW = dict(k_max=3, steps_per_k=6, N=24, bucket_edges=(8, 16),
+                      chunk_size=2, informed_init=True, marginals=True)
+    SCOUT_KW = dict(k_max=3, steps_per_k=6, N=24, bucket_edges=(8, 16),
+                    chunk_size=4, scout_steps=2, refine_top=2,
+                    informed_init=False)
+""")
+
+_DATASET_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    port, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    sys.path.insert(0, {repo!r})
+    import numpy as np
+    from bild_tpu.parallel import make_mesh, sample_dataset
+
+    exec(open(os.path.join(outdir, "dataset_src.py")).read())
+
+    mesh = make_mesh(axis_names=("data",), distributed=True,
+                     coordinator_address=f"localhost:{{port}}",
+                     num_processes=2, process_id=pid)
+    model, trajs = build_dataset()
+
+    # count checkpoint commits (os.replace onto the checkpoint dir) to prove
+    # exactly-once I/O: every file must be written by process 0 alone
+    ckdir = os.path.join(outdir, "ck")
+    os.makedirs(ckdir, exist_ok=True)
+    writes = []
+    _orig_replace = os.replace
+    def counting_replace(src, dst):
+        if os.path.dirname(dst) == ckdir:
+            writes.append(dst)
+        return _orig_replace(src, dst)
+    os.replace = counting_replace
+
+    res = sample_dataset(model, trajs, mesh=mesh, checkpoint_dir=ckdir,
+                         key=jax.random.key(7), **DATASET_KW)
+    res2 = sample_dataset(model, trajs, mesh=mesh,
+                          key=jax.random.key(8), **SCOUT_KW)
+    np.savez(os.path.join(outdir, f"res{{pid}}.npz"),
+             evidence=res.evidence, evidence_se=res.evidence_se,
+             profiles=np.concatenate([p.ravel() for p in res.profiles_by_k]),
+             marginals=np.concatenate([m.ravel() for m in res.marginals]),
+             mom_ok=res.mom_ok,
+             s_evidence=res2.evidence,
+             s_profiles=np.concatenate([p.ravel()
+                                        for p in res2.profiles_by_k]),
+             n_ck_writes=len(writes))
+    print(f"OK {{pid}}", flush=True)
+""")
+
+
+def test_two_process_sample_dataset(tmp_path):
+    """End-to-end multi-host inference: `sample_dataset` over a 2-process x
+    2-device CPU cluster — fused + informed-init + marginals + chunk
+    checkpointing, and the scout/refine schedule — produces BIT-IDENTICAL
+    results to the plain single-process run, with checkpoint files written
+    exactly once (by process 0)."""
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    (tmp_path / "dataset_src.py").write_text(_DATASET_SRC)
+    worker = tmp_path / "worker.py"
+    worker.write_text(_DATASET_WORKER.format(repo=repo))
+    port = _free_port()
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(port), str(i), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env, cwd=str(tmp_path)) for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+        assert f"OK {i}" in out
+
+    import numpy as np
+    res0 = np.load(tmp_path / "res0.npz")
+    res1 = np.load(tmp_path / "res1.npz")
+
+    # exactly-once checkpoint I/O: process 0 wrote every chunk, process 1
+    # wrote nothing — and the files exist
+    n_chunks = 4  # 2 buckets x 3 trajectories at chunk_size=2
+    assert int(res0["n_ck_writes"]) == n_chunks
+    assert int(res1["n_ck_writes"]) == 0
+    assert len(list((tmp_path / "ck").glob("chunk_*.npz"))) == n_chunks
+
+    # both processes returned the same full result (n_ck_writes is the one
+    # field that must DIFFER — exactly-once I/O, asserted above)
+    for f in res0.files:
+        if f != "n_ck_writes":
+            np.testing.assert_array_equal(res0[f], res1[f], err_msg=f)
+
+    # ... identical to the plain single-process run (same keys, no mesh)
+    ns = {}
+    exec(_DATASET_SRC, ns)
+    import jax
+    from bild_tpu.parallel import sample_dataset
+    model, trajs = ns["build_dataset"]()
+    ref = sample_dataset(model, trajs, key=jax.random.key(7),
+                         **ns["DATASET_KW"])
+    ref2 = sample_dataset(model, trajs, key=jax.random.key(8),
+                          **ns["SCOUT_KW"])
+    np.testing.assert_array_equal(res0["evidence"], ref.evidence)
+    np.testing.assert_array_equal(res0["evidence_se"], ref.evidence_se)
+    np.testing.assert_array_equal(
+        res0["profiles"],
+        np.concatenate([p.ravel() for p in ref.profiles_by_k]))
+    np.testing.assert_array_equal(
+        res0["marginals"],
+        np.concatenate([m.ravel() for m in ref.marginals]))
+    np.testing.assert_array_equal(res0["mom_ok"], ref.mom_ok)
+    np.testing.assert_array_equal(res0["s_evidence"], ref2.evidence)
+    np.testing.assert_array_equal(
+        res0["s_profiles"],
+        np.concatenate([p.ravel() for p in ref2.profiles_by_k]))
+
+
 def test_two_process_cpu_cluster(tmp_path):
     import os
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
