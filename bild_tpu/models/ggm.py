@@ -298,21 +298,45 @@ class GenericGaussianModel(MultiStateModel):
         whole window. The error depends on the MSD's memory (measured at
         ``T_band = 64``: ~2e-3 nats per tail frame for two-locus Rouse and
         power-law a=0.5; up to ~2e-2 for a long-memory power-law a=0.8
-        increment process — halve it by doubling ``T_band``). Small against
-        typical evidence differences but NOT exact: leave ``T_band=None``
-        (default) when bit-parity with `logL_host` matters more than
-        memory, and validate the band for your spec against `logL_host`.
-        Trajectories with missing frames always use the exact tables and
-        raise if they exceed ``T_band``.
+        increment process — halve it by doubling ``T_band``). The error is
+        therefore CONTROLLED, not just documented: at table-build time the
+        model-expected worst-case tail error (`band_tail_error`, a
+        closed-form Gaussian-KL estimate from the stationary window
+        covariance) is evaluated against ``band_tol`` —
+
+        - ``T_band='auto'`` picks the smallest power-of-two band (>= 32)
+          whose estimate is within ``band_tol`` for the batch's T, falling
+          back to the exact tables when no band below T qualifies;
+        - an explicit integer ``T_band`` emits a ``UserWarning`` (with the
+          estimate, stored in ``band_error_estimate``) when it exceeds
+          ``band_tol``.
+
+        Leave ``T_band=None`` (default) when bit-parity with `logL_host`
+        matters more than memory. Trajectories with missing frames always
+        use the exact tables and raise if they exceed ``T_band``.
+
+    band_tol : float (nats, default 0.1)
+        tolerance for the estimated worst-case per-trajectory tail error;
+        compare against your evidence differences of interest (AMIS
+        evidence SEMs are typically 0.01-0.1 nats).
     """
 
-    def __init__(self, state_spec, T_band=None):
+    def __init__(self, state_spec, T_band=None, band_tol=0.1):
         self.state_spec = np.asarray(state_spec, dtype=object)
         assert len(self.state_spec.shape) == 3
         self.init_transitions(self.state_spec.shape[0])
-        if T_band is not None and int(T_band) < 8:
+        if isinstance(T_band, str):
+            if T_band != "auto":
+                raise ValueError(f"T_band must be None, an int >= 8, or "
+                                 f"'auto'; got {T_band!r}")
+            self.T_band = "auto"
+        elif T_band is not None and int(T_band) < 8:
             raise ValueError(f"T_band must be >= 8, got {T_band}")
-        self.T_band = None if T_band is None else int(T_band)
+        else:
+            self.T_band = None if T_band is None else int(T_band)
+        self.band_tol = float(band_tol)
+        self.band_error_estimate = None   # last explicit-band estimate
+        self._auto_band_cache = {}
         # single-slot payload caches (keyed on the data array identity):
         # bounded by construction, unlike a growing memo
         self._table_cache = None
@@ -402,15 +426,16 @@ class GenericGaussianModel(MultiStateModel):
         data = np.asarray(data)
         valid = np.asarray(valid)
         B, T, _ = data.shape
-        if self.T_band is not None and T > self.T_band:
+        W = self._resolve_band(T)
+        if W is not None and T > W:
             if not valid.all():
                 raise ValueError(
                     "banded GGM tables (T_band) require gap-free "
                     "trajectories; rows with missing frames need the exact "
                     "tables — construct the model with T_band=None or "
                     "bucket gapped trajectories separately")
-            Band, Head, G = self._banded_tables_batch(data)
-            Lb = self.T_band - 1
+            Band, Head, G = self._banded_tables_batch(data, W)
+            Lb = W - 1
             dt = fdtype()
             return ("banded",
                     (jnp.asarray(Band.reshape(B, -1), dtype=dt),
@@ -585,11 +610,121 @@ class GenericGaussianModel(MultiStateModel):
 
         return jnp.asarray(V, dtype=dt)
 
-    def _banded_tables_batch(self, data):
+    def _window_cov(self, s, dim, W):
+        """Stationary covariance of one banded window for ``(state, dim)``:
+        ``(Cfull (Wd, Wd), c00, sso, Wd)`` where ``Wd`` is the number of
+        window ENTRIES (``W`` frames for ss_order 0, ``W - 1`` increments
+        for ss_order 1) and ``c00`` the unconditional first-entry
+        variance."""
+        msd_fun, _, sso = self.state_spec[s, dim]
+        lags = np.arange(W + 2, dtype=float)
+        msd_tab = np.asarray(msd_fun(lags), dtype=float)
+        if int(sso) == 0:
+            plateau = float(msd_fun(np.inf))
+            Wd = W
+            km = np.abs(np.subtract.outer(np.arange(Wd), np.arange(Wd)))
+            Cfull = 0.5 * (plateau - msd_tab[km])
+            c00 = 0.5 * plateau
+        else:
+            Wd = W - 1
+            km = np.abs(np.subtract.outer(np.arange(Wd), np.arange(Wd)))
+            Cfull = 0.5 * (msd_tab[np.abs(km - 1)] + msd_tab[km + 1]
+                           - 2 * msd_tab[km])
+            c00 = 1.0
+        return Cfull, c00, int(sso), Wd
+
+    def band_tail_error(self, T, T_band=None):
+        """
+        Predicted worst-case tail error (nats) of the banded tables for one
+        gap-free length-``T`` trajectory: the truncated-memory sliding
+        conditional (``T_band - 1`` frames of memory) vs the exact
+        full-window conditional.
+
+        The prediction is **bias + fluctuation**:
+
+        - Bias (expected deficit): per (state, dim), let ``v_m`` be the
+          conditional variance of a window entry given ``m`` in-window
+          predecessors (squared Cholesky diagonal of the stationary window
+          covariance, window extended to ``min(T, max(4 T_band, 256))``
+          entries). The expected per-frame log-likelihood deficit of
+          conditioning on ``m_tr`` instead of ``m > m_tr`` predecessors is
+          the Gaussian KL ``0.5 log(v_{m_tr} / v_m)`` (the mean-mismatch
+          term contributes exactly ``(v_{m_tr} - v_m)/2 v_{m_tr}`` in
+          expectation, cancelling the variance-ratio term). Summed over
+          the tail offsets of one interval spanning all T frames (worst
+          case), maxed over states, summed over dims -> ``KL``.
+        - Fluctuation: each per-frame deficit has variance ~``2 KL_j``
+          and neighboring frames share most of their window, so the
+          realized deficit of one trajectory fluctuates around the bias
+          with worst-case (fully correlated) scale
+          ``sqrt(2 KL n_tail)``, ``n_tail = T - T_band``; a 1.5x safety
+          factor rides on it. Measured across specs/bands (two-locus
+          Rouse, power-law a in {0.5, 0.8, 1.0}, W in 16..128) the bound
+          covers every realized |error| (tests/test_ggm_device.py).
+
+        Offsets beyond the extended window reuse its deepest ``v`` — a
+        slight underestimate for extremely long-memory MSDs.
+        """
+        W = self.T_band if T_band is None else T_band
+        if not isinstance(W, (int, np.integer)):
+            raise ValueError("band_tail_error needs a concrete T_band")
+        if T <= W:
+            return 0.0
+        total = 0.0
+        for dim in range(self.d):
+            worst = 0.0
+            for s in range(self.nStates):
+                We = int(min(T, max(4 * W, 256)))
+                C, _, sso, Wd_e = self._window_cov(s, dim, We)
+                v = np.diag(np.linalg.cholesky(C)) ** 2
+                Wd = W if sso == 0 else W - 1
+                v_tr = v[Wd - 1]
+                offs = np.arange(W, T)               # tail frame offsets
+                m_ex = np.minimum(offs if sso == 0 else offs - 1, Wd_e - 1)
+                with np.errstate(divide="ignore"):
+                    err = float(np.sum(0.5 * np.log(v_tr / v[m_ex])))
+                worst = max(worst, err)
+            total += worst
+        return total + 1.5 * float(np.sqrt(2.0 * total * (T - W)))
+
+    def _resolve_band(self, T):
+        """Concrete band width for a length-``T`` batch, or ``None`` for
+        the exact tables. ``T_band='auto'``: the smallest power-of-two
+        band >= 32 whose `band_tail_error` estimate is within ``band_tol``
+        (resolved per T, cached); if no band strictly below T qualifies,
+        the exact tables are used. Explicit integer bands get the same
+        estimate and ``warnings.warn`` when they exceed ``band_tol``."""
+        if self.T_band is None:
+            return None
+        if isinstance(self.T_band, str):            # 'auto'
+            cached = self._auto_band_cache.get(T)
+            if cached is not None or T in self._auto_band_cache:
+                return cached
+            W = 32
+            choice = None
+            while W < T:
+                if self.band_tail_error(T, W) <= self.band_tol:
+                    choice = W
+                    break
+                W *= 2
+            self._auto_band_cache[T] = choice
+            return choice
+        if T > self.T_band:
+            est = self.band_error_estimate = self.band_tail_error(T)
+            if est > self.band_tol:
+                import warnings
+                warnings.warn(
+                    f"banded GGM tables: estimated worst-case tail error "
+                    f"{est:.3g} nats at T={T}, T_band={self.T_band} exceeds "
+                    f"band_tol={self.band_tol}; increase T_band (or use "
+                    f"T_band='auto') or validate against logL_host")
+        return self.T_band
+
+    def _banded_tables_batch(self, data, W):
         """
         Banded interval tables for gap-free trajectories:
         ``(Band (B, n, T, Lb+1), Head (B, n, T), G (B, n, T))`` with
-        ``Lb = T_band - 1`` (see `_profile_table_sum_banded` for the
+        ``Lb = W - 1`` (see `_profile_table_sum_banded` for the
         decomposition). Two prefix-solves per (state, dim) — one with the
         reference's per-``t0`` conditioning (Band + Head), one with sliding
         fully-centered windows (the per-frame tail conditionals g) — each
@@ -598,9 +733,7 @@ class GenericGaussianModel(MultiStateModel):
         B, T, d = data.shape
         n = self.nStates
         dt = fdtype()
-        W = self.T_band
         Lb = W - 1
-        lags = np.arange(T + 1, dtype=float)
 
         Band = np.zeros((B, n, T, Lb + 1))
         Head = np.zeros((B, n, T))
@@ -614,22 +747,8 @@ class GenericGaussianModel(MultiStateModel):
 
         for s in range(n):
             for dim in range(d):
-                msd_fun, mean, sso = self.state_spec[s, dim]
-                msd_tab = np.asarray(msd_fun(lags), dtype=float)
-                if int(sso) == 0:
-                    plateau = float(msd_fun(np.inf))
-                    Wd = W                       # frames per window
-                    km = np.abs(np.subtract.outer(np.arange(Wd),
-                                                  np.arange(Wd)))
-                    Cfull = 0.5 * (plateau - msd_tab[km])
-                    c00 = 0.5 * plateau
-                else:
-                    Wd = W - 1                   # increments per window
-                    km = np.abs(np.subtract.outer(np.arange(Wd),
-                                                  np.arange(Wd)))
-                    Cfull = 0.5 * (msd_tab[np.abs(km - 1)] + msd_tab[km + 1]
-                                   - 2 * msd_tab[km])
-                    c00 = 1.0
+                mean = self.state_spec[s, dim][1]
+                Cfull, c00, sso, Wd = self._window_cov(s, dim, W)
                 Lc = np.linalg.cholesky(Cfull)
                 logdet_cum = np.cumsum(2.0 * np.log(np.diag(Lc)))
 
