@@ -1,0 +1,184 @@
+"""Branch coverage for round-3 stragglers (VERDICT r3 next-step 9):
+native build-failure fallback, mesh/distributed helper branches, and the
+generative-path preprocessing in `models.base`."""
+import numpy as np
+import jax
+import pytest
+from scipy import stats as sp_stats
+
+from bild_tpu.models import FactorizedModel
+
+
+# -- native loader: build-failure fallback --------------------------------
+
+def test_native_build_failure_falls_back(tmp_path, monkeypatch):
+    from bild_tpu import native
+    from bild_tpu import io
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_SO", str(tmp_path / "nonexistent.so"))
+
+    def boom(*a, **k):
+        raise RuntimeError("no toolchain")
+
+    monkeypatch.setattr(native.subprocess, "run", boom)
+    with pytest.warns(UserWarning, match="falling back"):
+        assert native.get_lib() is None
+    # repeated call warns again (no caching of the failure) but stays None
+    with pytest.warns(UserWarning):
+        assert native.get_lib() is None
+
+    # the IO layer still loads CSVs through the pure-Python path
+    csv = tmp_path / "d.csv"
+    csv.write_text("id,frame,x\n0,0,1.0\n0,1,2.0\n1,0,3.0\n")
+    trajs = io.load_trajectories_csv(str(csv))
+    assert len(trajs) == 2 and len(trajs[0]) == 2
+
+
+def test_native_stale_so_rebuilds(tmp_path, monkeypatch):
+    """An _SO older than the source triggers a rebuild attempt."""
+    from bild_tpu import native
+
+    so = tmp_path / "stale.so"
+    so.write_bytes(b"old")
+    import os
+    os.utime(so, (0, 0))                    # older than loader.cpp
+    calls = []
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_SO", str(so))
+    monkeypatch.setattr(native, "_build", lambda: calls.append(1) or False)
+    assert native.get_lib() is None
+    assert calls == [1]
+
+
+# -- mesh / distributed helper branches -----------------------------------
+
+def test_initialize_distributed_idempotent(monkeypatch):
+    from bild_tpu.parallel import mesh as m
+
+    class FakeDist:
+        def is_initialized(self):
+            return True
+
+        def initialize(self, **kw):          # pragma: no cover - must not run
+            raise AssertionError("initialize called despite existing cluster")
+
+    import jax.distributed
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    m.initialize_distributed(coordinator_address="x:1", num_processes=2,
+                             process_id=0)  # returns without touching init
+
+
+def test_make_mesh_distributed_flag(monkeypatch):
+    from bild_tpu.parallel import mesh as m
+
+    called = {}
+    monkeypatch.setattr(m, "initialize_distributed",
+                        lambda **kw: called.update(kw))
+    mesh = m.make_mesh(axis_names=("data",), distributed=True,
+                       coordinator_address="x:1", num_processes=1,
+                       process_id=0)
+    assert called["num_processes"] == 1
+    assert mesh.devices.size == len(jax.devices())
+
+
+def test_make_mesh_too_many_devices():
+    from bild_tpu.parallel import make_mesh
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(shape=(1024, 1))
+
+
+def test_mesh_helpers_single_process():
+    from bild_tpu.parallel import (broadcast_from_process0, fetch_to_host,
+                                   is_multiprocess, make_mesh, shard_batch,
+                                   feed_process_local)
+
+    mesh = make_mesh(shape=(4,), axis_names=("data",))
+    assert not is_multiprocess(mesh)
+
+    # broadcast is a no-op in single-process runs
+    x = {"a": np.arange(3)}
+    assert broadcast_from_process0(x) is x
+
+    # fetch handles numpy, addressable device arrays, and pytrees
+    arr = jax.numpy.arange(8.0)
+    out = fetch_to_host({"n": np.ones(2), "d": arr}, mesh)
+    np.testing.assert_array_equal(out["d"], np.arange(8.0))
+    np.testing.assert_array_equal(out["n"], np.ones(2))
+
+    # shard + fetch round-trip (committed arrays take the host path)
+    sharded = shard_batch({"x": jax.numpy.arange(8.0).reshape(8, 1),
+                           "s": np.float64(3.0)}, mesh)
+    np.testing.assert_array_equal(np.asarray(sharded["x"]).ravel(),
+                                  np.arange(8.0))
+    back = fetch_to_host(sharded, mesh)
+    np.testing.assert_array_equal(back["x"].ravel(), np.arange(8.0))
+
+    # divisibility guard
+    with pytest.raises(ValueError, match="divisible"):
+        shard_batch({"x": np.zeros((3, 2))}, mesh)
+
+    # process-local feeding (single process owns every shard)
+    fed = feed_process_local(np.arange(12.0).reshape(4, 3), mesh)
+    np.testing.assert_array_equal(np.asarray(fed),
+                                  np.arange(12.0).reshape(4, 3))
+    fed2 = feed_process_local(np.arange(8.0).reshape(4, 2), mesh,
+                              global_batch=4)
+    assert fed2.shape == (4, 2)
+
+
+def test_fetch_to_host_without_mesh():
+    """Fully-addressable arrays fetch without a mesh (the mesh is only
+    needed for non-addressable multi-process arrays)."""
+    from bild_tpu.parallel.mesh import fetch_to_host
+
+    out = fetch_to_host(jax.numpy.ones(3))
+    np.testing.assert_array_equal(out, np.ones(3))
+
+
+# -- models.base preprocessing branches -----------------------------------
+
+def test_preproc_localization_error_branches():
+    model = FactorizedModel([sp_stats.maxwell(scale=0.1),
+                             sp_stats.maxwell(scale=1)], d=2)
+    np.testing.assert_array_equal(
+        model._preproc_localization_error(0.5), [0.5, 0.5])
+    np.testing.assert_array_equal(
+        model._preproc_localization_error([0.1, 0.2]), [0.1, 0.2])
+    with pytest.raises(ValueError, match="localization_error"):
+        model._preproc_localization_error([0.1, 0.2, 0.3])
+
+
+def test_preproc_missing_frames_branches():
+    model = FactorizedModel([sp_stats.maxwell(scale=0.1)], d=1)
+    T = 20
+    rng = np.random.RandomState(0)
+    assert len(model._preproc_missing_frames(None, T)) == 0
+    assert len(model._preproc_missing_frames(0, T)) == 0
+    frac = model._preproc_missing_frames(0.3, T, rng=rng)
+    assert np.all((frac >= 0) & (frac < T))
+    count = model._preproc_missing_frames(5, T, rng=rng)
+    assert len(count) == 5 and len(np.unique(count)) == 5
+    explicit = model._preproc_missing_frames([2, 7], T)
+    np.testing.assert_array_equal(explicit, [2, 7])
+
+
+def test_segment_guess_no_table_returns_none():
+    """Models without a frame-factorized approximation return None from
+    segment_guess (base-class branch)."""
+    from bild_tpu.models.base import MultiStateModel
+    from bild_tpu.trajectory import Trajectory
+
+    class Bare(MultiStateModel):
+        def __init__(self):
+            self.init_transitions(2)
+
+        @property
+        def d(self):
+            return 1
+
+        def logL(self, profile, traj):
+            return 0.0
+
+    traj = Trajectory.create(np.ones((5, 1)))
+    assert Bare().segment_guess(traj, 1) is None
