@@ -18,7 +18,19 @@ would target wall(n) ~= wall(1).)
 Also asserts mesh-run results equal the unsharded single-device run on the
 same batch rows (data parallelism must not change the math).
 
+``--decompose`` additionally runs every batch size UNSHARDED on one virtual
+device. Virtual devices share the host's cores (one XLA:CPU thread pool), so
+the unsharded B=128 run uses the same silicon as the 8-device mesh run — the
+only difference is the mesh machinery (sharding layouts, collective
+scheduling, multi-device dispatch). If the unsharded per-row cost grows with
+B by the same factor as the mesh overhead curve, the "overhead" is
+working-set growth on shared CPU silicon (cache pressure — an artifact of
+virtualizing the mesh onto one host), not anything the mesh adds; on real
+chips per-device working set stays constant by construction. See DESIGN.md
+"Weak-scaling overhead attribution".
+
 Usage: python bench_scaling.py [--b-per-dev 16] [--out SCALING.json]
+                               [--decompose]
 """
 import argparse
 import json
@@ -32,6 +44,9 @@ def main():
     ap.add_argument("--b-per-dev", type=int, default=16)
     ap.add_argument("--devices", default="1,2,4,8")
     ap.add_argument("--out", default="SCALING.json")
+    ap.add_argument("--decompose", action="store_true",
+                    help="also run each B unsharded on one device to "
+                         "separate mesh overhead from working-set growth")
     args = ap.parse_args()
     devs = [int(x) for x in args.devices.split(",")]
     n_max = max(devs)
@@ -104,9 +119,29 @@ def main():
         row = {"n_dev": n, "B": B, "wall_s": round(wall, 2),
                "overhead_vs_ideal": round(overhead, 3),
                "frame_accuracy": round(acc, 4)}
+
+        if args.decompose:
+            # same B, NO mesh: one virtual device, same shared CPU silicon.
+            # run_unsh/(n*unsh1) isolates working-set growth; the mesh's own
+            # cost is the mesh wall minus this.
+            def run_unsharded():
+                return sample_batch(model, batch, mesh=None,
+                                    key=jax.random.key(42), **kw)
+            run_unsharded()
+            t0 = time.perf_counter()
+            run_unsharded()
+            wall_u = time.perf_counter() - t0
+            row["wall_unsharded_s"] = round(wall_u, 2)
+            if n == 1:
+                results["_unsh1"] = wall_u
+            row["overhead_unsharded"] = round(
+                wall_u / (n * results["_unsh1"]), 3)
+            row["mesh_machinery_overhead"] = round(wall / wall_u, 3)
+
         results["runs"].append(row)
         print(json.dumps(row), flush=True)
 
+    results.pop("_unsh1", None)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {args.out}")
