@@ -91,6 +91,14 @@ def main(argv=None):
         dt_our = time.perf_counter() - t0
         our_map = np.asarray(our_res.best_profile()[:], dtype=int)
 
+        # posterior credibility of the TRUTH under each sampler's marginal
+        # posterior (the calibration statistic of PERF_r03 `mean_credibility`,
+        # here computed for BOTH samplers on identical data)
+        ref_post = np.exp(np.asarray(ref_res.log_marginal_posterior()))
+        our_post = np.exp(np.asarray(our_res.log_marginal_posterior()))
+        tidx = np.arange(T)
+        truth_np = np.asarray(truth, dtype=int)
+
         rec = {
             'b': b,
             'true_k': true_k,
@@ -101,6 +109,11 @@ def main(argv=None):
             'our_frame_acc': float(np.mean(our_map == truth)),
             'ref_evidences': [float(e) for e in ref_res.evidence],
             'our_evidences': [float(e) for e in np.asarray(our_res.evidence)],
+            'ref_evidence_se': [float(e) for e in ref_res.evidence_se],
+            'our_evidence_se': [float(e) for e in
+                                np.asarray(our_res.evidence_se)],
+            'ref_truth_cred': float(np.mean(ref_post[truth_np, tidx])),
+            'our_truth_cred': float(np.mean(our_post[truth_np, tidx])),
             'ref_wall_s': round(dt_ref, 1),
             'our_wall_s': round(dt_our, 1),
         }
@@ -117,6 +130,27 @@ def main(argv=None):
     print(f"\nn={len(recs)}: best_k agreement={agree_k:.3f}, "
           f"mean MAP overlap={overlap:.4f}, "
           f"frame acc ref={acc_ref:.4f} ours={acc_our:.4f}")
+
+    # evidence-curve agreement normalized by the combined AMIS SE, per
+    # (trajectory, k): |logE_ref - logE_our| / sqrt(se_ref^2 + se_our^2)
+    z = []
+    for r in recs:
+        if 'ref_evidence_se' not in r:
+            continue
+        for k in range(min(len(r['ref_evidences']), len(r['our_evidences']))):
+            e_r, e_o = r['ref_evidences'][k], r['our_evidences'][k]
+            s_r, s_o = r['ref_evidence_se'][k], r['our_evidence_se'][k]
+            if np.isfinite([e_r, e_o, s_r, s_o]).all():
+                z.append(abs(e_r - e_o) / np.sqrt(s_r**2 + s_o**2 + 1e-12))
+    if z:
+        z = np.asarray(z)
+        cred = [(r.get('ref_truth_cred'), r.get('our_truth_cred'))
+                for r in recs if 'ref_truth_cred' in r]
+        cr, co = np.mean([c[0] for c in cred]), np.mean([c[1] for c in cred])
+        print(f"evidence |z| over {len(z)} (traj,k) pairs: "
+              f"median={np.median(z):.2f}, frac<=2={np.mean(z <= 2):.3f}, "
+              f"frac<=3={np.mean(z <= 3):.3f}")
+        print(f"truth credibility: ref={cr:.4f} ours={co:.4f}")
 
 
 if __name__ == '__main__':
