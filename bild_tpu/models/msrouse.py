@@ -24,6 +24,17 @@ from ..ops.kalman_pallas import msrouse_logL_pallas
 from ..ops.kalman_sym import msrouse_logL_pallas_sym
 
 
+@jax.jit
+def _assoc_batch(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind, profiles, ydata, valid):
+    """Profile-vmapped temporal-parallel filter (`ops.assoc_kalman`).
+
+    Module-level jit: the cache keys on shapes AND input shardings, so the
+    time-sharded path (committed inputs from `logL_batch_assoc`) compiles
+    once per (mesh, shape) instead of per call."""
+    return jax.vmap(lambda p: msrouse_logL_assoc(
+        Bs, Gs, Sigs, M0s, C0s, w, s2, Cind, p, ydata, valid))(profiles)
+
+
 def _select_kernel(dtype, matmul="exact"):
     """TPU f32 kernel per `bild_tpu.config.rouse_kernel()`; the XLA scan
     everywhere else (CPU, x64). ``matmul`` is the RESOLVED dot tier
@@ -179,25 +190,23 @@ class MultiStateRouse(MultiStateModel):
         s2, Cind = self._noise_arrays(traj)
         Cind = jnp.asarray(Cind)
         profiles = jnp.asarray(profiles, dtype=jnp.int32)
-
-        def fn(profs, ydata, valid):
-            return jax.vmap(lambda p: msrouse_logL_assoc(
-                self.Bs, self.Gs, self.Sigs, self.M0s, self.C0s,
-                self.w, s2, Cind, p, ydata, valid))(profs)
+        args = (self.Bs, self.Gs, self.Sigs, self.M0s, self.C0s,
+                self.w, s2, Cind)
 
         if mesh is None:
-            return fn(profiles, traj.data, traj.valid)
+            return _assoc_batch(*args, profiles, traj.data, traj.valid)
 
+        # committed input shardings drive the partitioning; the jitted
+        # function is module-level so repeat calls (same shapes+shardings)
+        # hit the jit cache instead of recompiling the sharded program
         from jax.sharding import NamedSharding, PartitionSpec as P
         t_sh = NamedSharding(mesh, P(time_axis))
         td_sh = NamedSharding(mesh, P(time_axis, None))
         pt_sh = NamedSharding(mesh, P(None, time_axis))
-        rep = NamedSharding(mesh, P())
-        sharded = jax.jit(fn, in_shardings=(pt_sh, td_sh, t_sh),
-                          out_shardings=rep)
-        return sharded(jax.device_put(profiles, pt_sh),
-                       jax.device_put(traj.data, td_sh),
-                       jax.device_put(traj.valid, t_sh))
+        return _assoc_batch(*args,
+                            jax.device_put(profiles, pt_sh),
+                            jax.device_put(jnp.asarray(traj.data), td_sh),
+                            jax.device_put(jnp.asarray(traj.valid), t_sh))
 
     def lockstep_fns(self, batch):
         """

@@ -67,3 +67,33 @@ def test_time_sharded_mesh_parity(rng):
     # single-device path too
     got1 = np.asarray(model.logL_batch_assoc(profiles, traj))
     np.testing.assert_allclose(got1, want, rtol=1e-8)
+
+
+@pytest.mark.slow
+def test_time_sharded_T8192(rng):
+    """T=8192 frames sharded over the 8-device mesh (VERDICT r3 #10).
+
+    The demonstration case of the sequence-parallelism axis: a trajectory
+    far beyond the AMIS working range, with the full per-frame element
+    construction, the associative composition riding XLA collectives across
+    the time axis, and missing frames — at parity with the sequential scan
+    kernel. (The crossover RULE for when to take this path is documented in
+    ``MultiStateRouse.logL_batch_assoc`` and DESIGN.md, measured by
+    ``tools/assoc_crossover.py``.)
+    """
+    from bild_tpu.parallel import make_mesh
+
+    model = MultiStateRouse(8, 1.0, 3.0, d=1, localization_error=0.2)
+    T = 8192
+    prof = ((np.arange(T) // 1024) % 2).astype(int)
+    data = rng.normal(size=(T, 1))
+    data[rng.integers(0, T, size=200)] = np.nan    # missing frames
+    traj = Trajectory.create(data)
+    profiles = np.stack([prof, 1 - prof])
+
+    want = np.asarray(msrouse_logL_batch(*_args(model, traj, profiles)))
+    mesh = make_mesh((8,), axis_names=("time",))
+    got = np.asarray(model.logL_batch_assoc(profiles, traj, mesh=mesh))
+    # f64 end to end on CPU; 8192 compositions accumulate ~1e-9 relative
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+    assert np.all(np.isfinite(got))
