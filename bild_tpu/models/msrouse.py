@@ -181,11 +181,17 @@ class MultiStateRouse(MultiStateModel):
 
         On a single chip the sequential kernels win whenever a profile batch
         exists to saturate the device (measured guidance in
-        ``ops/assoc_kalman.py``), so this is NOT auto-dispatched; use it when
-        ``T`` exceeds one chip's latency/memory budget and you have a
-        ``mesh`` with a time axis: frames are then sharded over
+        ``ops/assoc_kalman.py``), so this is NOT auto-dispatched. Measured
+        crossover rule (``tools/assoc_crossover.py``,
+        ASSOC_CROSSOVER_r04.json; DESIGN.md section 5): the associative
+        formulation costs ~7-15x the sequential scan's work at P=1 and
+        25-100x at P>=8, so time-sharding pays only for latency-critical
+        SINGLE-profile evaluation of very long trajectories (T >~ 1e4) on a
+        time axis of >~10-16 devices, or when ``T`` exceeds one chip's
+        memory budget. With a ``mesh``, frames are sharded over
         ``mesh.shape[time_axis]`` devices and the O(log T) composition rides
-        XLA collectives.
+        XLA collectives; parity vs the sequential kernel is tested through
+        T=8192 with missing frames.
         """
         s2, Cind = self._noise_arrays(traj)
         Cind = jnp.asarray(Cind)
