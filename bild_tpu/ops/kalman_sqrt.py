@@ -94,6 +94,18 @@ def msrouse_logL_sqrt(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
 @jax.jit
 def _sqrt_impl(Bs, Gs, LSigs, M0s, L0s, w, s2, Cind,
                profiles, ydata, valid):
+    # full-precision passes for every dot issued below — INCLUDING the
+    # matmuls inside jnp.linalg.qr. Without this, TPU lowers f32 dots to
+    # 1-pass bf16 and the kernel measures 1.1e-4 vs the f64 oracle
+    # (PARITY_TIERS r4) instead of its sub-1e-6 design point; a
+    # stability-tier kernel with bf16 QR passes would be self-defeating.
+    with jax.default_matmul_precision("highest"):
+        return _sqrt_body(Bs, Gs, LSigs, M0s, L0s, w, s2, Cind,
+                          profiles, ydata, valid)
+
+
+def _sqrt_body(Bs, Gs, LSigs, M0s, L0s, w, s2, Cind,
+               profiles, ydata, valid):
     fdt = jnp.asarray(ydata).dtype
     Bs = jnp.asarray(Bs, dtype=fdt)
     Gs = jnp.asarray(Gs, dtype=fdt)
