@@ -35,6 +35,42 @@ def _assoc_batch(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind, profiles, ydata, valid):
         Bs, Gs, Sigs, M0s, C0s, w, s2, Cind, p, ydata, valid))(profiles)
 
 
+@jax.jit
+def _gen_batch(Bs, Gs, L_sigs, w, L_sss, M_sss, err, profiles, keys):
+    """Batched generative model body for `trajectories_from_loopingprofiles`.
+
+    Module-level jit (not a per-call ``jax.jit(vmap(closure))``): the cache
+    keys on shapes/dtypes, so repeated chunked generation compiles once —
+    a per-call closure retraced+recompiled ~4.5 s per 1024x100 chunk, half
+    the steady-state wall of the 10k dataset benchmark."""
+    def gen_one(profile, key):
+        k0, k_scan, k_noise = jax.random.split(key, 3)
+        eta0 = jax.random.normal(k0, (Bs.shape[1], M_sss.shape[-1]),
+                                 dtype=M_sss.dtype)
+        conf0 = (M_sss[profile[0]]
+                 + jnp.matmul(L_sss[profile[0]], eta0,
+                              precision=MATMUL_PRECISION))
+        T = profile.shape[0]
+        etas = jax.random.normal(k_scan, (T - 1,) + conf0.shape,
+                                 dtype=conf0.dtype)
+
+        def step(conf, x):
+            st, eta = x
+            conf = (jnp.matmul(Bs[st], conf, precision=MATMUL_PRECISION)
+                    + Gs[st]
+                    + jnp.matmul(L_sigs[st], eta,
+                                 precision=MATMUL_PRECISION))
+            return conf, jnp.matmul(w, conf, precision=MATMUL_PRECISION)
+
+        _, meas = jax.lax.scan(step, conf0, (profile[1:], etas))
+        data = jnp.concatenate(
+            [jnp.matmul(w, conf0, precision=MATMUL_PRECISION)[None], meas])
+        noise = jax.random.normal(k_noise, data.shape, dtype=data.dtype)
+        return data + err[None, :] * noise
+
+    return jax.vmap(gen_one)(profiles, keys)
+
+
 def _select_kernel(dtype, matmul="exact"):
     """TPU f32 kernel per `bild_tpu.config.rouse_kernel()`; the XLA scan
     everywhere else (CPU, x64). ``matmul`` is the RESOLVED dot tier
@@ -376,35 +412,12 @@ class MultiStateRouse(MultiStateModel):
         if key is None:
             key = jax.random.key(np.random.randint(2**31))
 
-        Bs, Gs, L_sigs, w = self.Bs, self.Gs, self.L_sigs, self.w
         L_sss = jnp.stack([m.L_ss for m in self.models])
-        M_sss = self.M0s
         err = jnp.asarray(localization_error, dtype=fdtype())
 
-        def gen_one(profile, key):
-            k0, k_scan, k_noise = jax.random.split(key, 3)
-            eta0 = jax.random.normal(k0, (Bs.shape[1], self.d), dtype=fdtype())
-            conf0 = (M_sss[profile[0]]
-                     + jnp.matmul(L_sss[profile[0]], eta0,
-                                  precision=MATMUL_PRECISION))
-            etas = jax.random.normal(k_scan, (T - 1,) + conf0.shape,
-                                     dtype=conf0.dtype)
-
-            def step(conf, x):
-                st, eta = x
-                conf = (jnp.matmul(Bs[st], conf, precision=MATMUL_PRECISION)
-                        + Gs[st]
-                        + jnp.matmul(L_sigs[st], eta, precision=MATMUL_PRECISION))
-                return conf, jnp.matmul(w, conf, precision=MATMUL_PRECISION)
-
-            _, meas = jax.lax.scan(step, conf0, (profile[1:], etas))
-            data = jnp.concatenate(
-                [jnp.matmul(w, conf0, precision=MATMUL_PRECISION)[None], meas])
-            noise = jax.random.normal(k_noise, data.shape, dtype=data.dtype)
-            return data + err[None, :] * noise
-
         keys = jax.random.split(key, B)
-        data = jax.jit(jax.vmap(gen_one))(profiles, keys)
+        data = _gen_batch(self.Bs, self.Gs, self.L_sigs, self.w,
+                          L_sss, self.M0s, err, profiles, keys)
         return TrajectoryBatch(data=data, valid=jnp.ones((B, T), dtype=bool),
                                lengths=jnp.full((B,), T))
 
