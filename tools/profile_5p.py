@@ -10,7 +10,11 @@ Usage: python tools/profile_5p.py [--chunks N]
 """
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
