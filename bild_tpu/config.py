@@ -109,6 +109,13 @@ def enable_compilation_cache(path: str | None = None,
     (trajectory generation, informed-init DP, eager gathers) collectively
     cost tens of seconds per fresh process when not persisted — measured:
     first dataset chunk 61 s -> 16 s with the 2.0 -> 0.2 change.
+
+    Known interaction: with a ``sys.monitoring`` line tracer active (e.g.
+    ``COV=1`` test runs) the CPU-backend executable-serialization path can
+    abort the process (``Fatal Python error: Aborted`` inside
+    ``put_executable_and_time``; CPython 3.12 + XLA, reproduced
+    deterministically on this image). Don't enable the persistent cache
+    under a coverage tracer — the suite doesn't, and TPU use is unaffected.
     """
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") \
         or path or "/tmp/jaxcache"
