@@ -11,8 +11,10 @@ outer loop over switch counts.
 Public surface mirrors the reference (``bild/__init__.py:12-17``):
 ``sample``, ``SamplingResults``, ``Loopingprofile``, plus the submodules
 ``models``, ``amis``, ``postproc``, ``stats``. TPU-native additions live in
-``bild_tpu.parallel`` (multi-chip dataset inference) and ``bild_tpu.ops``
-(batched kernels).
+``bild_tpu.parallel`` (multi-chip dataset inference), ``bild_tpu.ops``
+(batched kernels), and ``bild_tpu.fit`` (gradient-based calibration of the
+physical model parameters — enabled by the differentiable likelihood; the
+reference's compiled kernel has no analog).
 """
 
 from .profiles import Loopingprofile, state_probabilities  # noqa: F401
@@ -26,6 +28,7 @@ from . import io  # noqa: F401
 from . import parallel  # noqa: F401
 from . import postproc  # noqa: F401
 from . import stats  # noqa: F401
+from . import fit  # noqa: F401
 from .infer import sample, SamplingResults  # noqa: F401
 from .infer.choice import ChoiceSampler  # noqa: F401
 

@@ -1,0 +1,308 @@
+"""
+Gradient-based calibration of ``MultiStateRouse`` physical parameters.
+
+The reference framework treats the model parameters (monomer diffusion
+constant ``D``, backbone spring constant ``k``, localization error) as
+fixed inputs: its likelihood kernel is compiled Cython
+(``bild/src/MSRouse_logL.pyx``) and cannot be differentiated, so users
+calibrate parameters externally (e.g. MSD fits via ``bayesmsd``) before
+running BILD. Here the likelihood is a pure JAX function, so the SAME
+kernel that scores looping profiles also yields exact gradients of the
+data log-likelihood with respect to the physical parameters — a new
+capability, not a port.
+
+Differentiability comes cheap because of how `physics.rouse.RouseModel`
+is built (see its module docstring): the connectivity Laplacian ``A`` of
+each loop state depends only on the bond STRUCTURE, never on ``(D, k)``.
+Its eigendecomposition ``A = V diag(lam) V^T`` is therefore a constant,
+computed once on host in float64, and the discrete-time dynamics are
+elementwise functions of the eigenvalues:
+
+    B   = V diag(exp(-k lam dt)) V^T
+    Sig = V diag(D/(k lam) (1 - exp(-2 k lam dt))) V^T
+    C0  = V diag(D/(k lam)) V^T            (free modes: 2 D dt / pinned 0)
+
+so the map ``(D, k) -> (B, Sig, C0)`` is smooth, closed-form, and runs as
+a handful of (n_states, N)-shaped elementwise ops plus two small GEMMs —
+no ``eigh`` on the gradient tape. Free modes (``lam = 0``: center of
+mass, disconnected fragments) are handled with constant masks and
+``jnp.where`` on BOTH branches' safe inputs, so no NaN reaches the tape
+(the classic ``where`` autodiff trap).
+
+The likelihood path is the XLA scan kernel (`ops.kalman.msrouse_logL_batch`)
+— `lax.scan` has a transpose rule, so reverse-mode AD through the whole
+T-step Kalman recursion is a single compiled backward scan. The entire
+optimization (optax adam by default) runs inside ONE jitted `lax.scan`
+over steps: one device dispatch for the whole fit.
+
+Typical use — self-contained EM-style refinement:
+
+    res = sample_dataset(model, trajs, ...)           # infer profiles
+    fit = fit_rouse(model, trajs, res.best_profile()) # refit parameters
+    model = fit.model                                 # calibrated model
+    # ... optionally iterate
+
+Reference context: ``bild/models.py:163-370`` (MultiStateRouse holds
+fixed parameters), ``bild/src/MSRouse_logL.pyx:95-256`` (opaque compiled
+kernel — the capability boundary this module crosses).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import fdtype
+from .ops.kalman import msrouse_logL_batch
+from .physics.rouse import _build_laplacian, _FREE_MODE_TOL
+from .trajectory import Trajectory
+
+__all__ = ["fit_rouse", "FitResult", "make_rouse_nll"]
+
+
+def _spectral_consts(model):
+    """
+    Per-state eigendecompositions of the (parameter-independent) Laplacians.
+
+    Returns (lams, Vs, free): (n, N) eigenvalues, (n, N, N) eigenvectors,
+    (n, N) bool free-mode mask — all host float64 constants.
+    """
+    lams, Vs, frees = [], [], []
+    for m in model.models:
+        A = _build_laplacian(m.N, m.add_bonds)
+        lam, V = np.linalg.eigh(A)
+        lam = np.clip(lam, 0.0, None)
+        lams.append(lam)
+        Vs.append(V)
+        frees.append(lam <= _FREE_MODE_TOL * max(1.0, float(lam[-1])))
+    return np.stack(lams), np.stack(Vs), np.stack(frees)
+
+
+def _dynamics_from_params(consts, log_D, log_k, dt, dtype):
+    """
+    Differentiable ``(log D, log k) -> (Bs, Sigs, C0s)``.
+
+    Same formulas as `RouseModel.__post_init__` (kept in lockstep with it;
+    parity asserted by ``tests/test_fit.py``), expressed in jnp with the
+    free-mode division guarded on both `where` branches.
+    """
+    lams, Vs, free = consts
+    lam = jnp.asarray(lams, dtype=dtype)
+    V = jnp.asarray(Vs, dtype=dtype)
+    free = jnp.asarray(free)
+
+    D = jnp.exp(log_D).astype(dtype)
+    k = jnp.exp(log_k).astype(dtype)
+
+    kl = k * lam                                       # (n, N)
+    safe_kl = jnp.where(free, 1.0, kl)
+    b = jnp.exp(-kl * dt)
+    sig = jnp.where(free, 2.0 * D * dt,
+                    D / safe_kl * (1.0 - jnp.exp(-2.0 * kl * dt)))
+    css = jnp.where(free, 0.0, D / safe_kl)
+
+    def sandwich(diag):                                # V diag V^T per state
+        return jnp.einsum("snm,sm,skm->snk", V, diag, V)
+
+    return sandwich(b), sandwich(sig), sandwich(css)
+
+
+def _as_batch_arrays(data):
+    """Coerce Trajectory / TrajectoryBatch / sequence to (B,T,d), (B,T) bool."""
+    if isinstance(data, Trajectory):
+        return data.data[None], data.valid[None], [data]
+    if hasattr(data, "data") and hasattr(data, "valid"):   # TrajectoryBatch
+        return jnp.asarray(data.data), jnp.asarray(data.valid), None
+    trajs = list(data)
+    from .parallel import stack_trajectories
+    batch = stack_trajectories(trajs)
+    return jnp.asarray(batch.data), jnp.asarray(batch.valid), trajs
+
+
+def make_rouse_nll(model, data, profiles, fit_localization=True):
+    """
+    Build the differentiable objective.
+
+    Parameters
+    ----------
+    model : MultiStateRouse
+        supplies the loop-state structure, measurement vector, dt, and the
+        parameter initialization.
+    data : Trajectory | TrajectoryBatch | sequence of Trajectory
+    profiles : (T,) or (B, T) int array
+        the looping profile believed to underlie each trajectory (ground
+        truth in simulation studies; ``res.best_profile()`` from a BILD run
+        otherwise).
+    fit_localization : bool | "scalar" | "vector"
+        ``True`` / ``"scalar"`` (default) fits ONE isotropic localization
+        error shared by all spatial dimensions — per-dim errors are only
+        weakly identified at typical data sizes (measured: +-50% scatter at
+        B=24, T=100 where the shared error recovers within 15%), and the
+        single-error case keeps the kernel's d* covariance deduplication.
+        ``"vector"`` fits a per-dimension error. ``False`` freezes the
+        error at the model/trajectory metadata value (reference resolution
+        semantics, ``bild/models.py:255-263``).
+
+    Returns
+    -------
+    nll : callable
+        ``nll(params) -> scalar`` — negative mean per-observed-scalar
+        log-likelihood (normalized so learning rates transfer across batch
+        sizes), jit/grad-compatible.
+    params0 : dict
+        initialization pytree: ``log_D``, ``log_k`` scalars and, when
+        ``fit_localization``, ``log_err`` of shape (d,).
+    """
+    dtype = fdtype()
+    ydata, valid, trajs = _as_batch_arrays(data)
+    B, T, d = ydata.shape
+    profiles = jnp.asarray(np.broadcast_to(np.asarray(profiles, dtype=np.int32),
+                                           (B, T)))
+
+    m0 = model.models[0]
+    consts = _spectral_consts(model)
+    n = len(model.models)
+    dt = m0.dt
+    w = model.w.astype(dtype)
+
+    # localization error: resolve like the likelihood path does
+    if trajs is not None:
+        err0 = model._get_noise(trajs[0])
+    elif model.localization_error is not None:
+        err0 = np.asarray(model.localization_error)
+    else:
+        raise ValueError("fitting a TrajectoryBatch requires "
+                         "model.localization_error to be set")
+    err0 = np.broadcast_to(np.asarray(err0, dtype=float), (d,))
+
+    mode = {True: "scalar", False: "off"}.get(fit_localization,
+                                              fit_localization)
+    if mode not in ("scalar", "vector", "off"):
+        raise ValueError(f"fit_localization: got {fit_localization!r}")
+
+    params0 = {"log_D": jnp.asarray(np.log(m0.D), dtype=dtype),
+               "log_k": jnp.asarray(np.log(m0.k), dtype=dtype)}
+    if mode == "scalar":
+        params0["log_err"] = jnp.asarray(np.mean(np.log(err0)), dtype=dtype)
+        Cind = np.zeros(d, dtype=np.int32)          # q=1: keeps d* dedup
+        s2_frozen = None
+    elif mode == "vector":
+        params0["log_err"] = jnp.asarray(np.log(err0), dtype=dtype)
+        Cind = np.arange(d, dtype=np.int32)         # q=d: per-dim carry
+        s2_frozen = None
+    else:
+        # frozen error deduplicates dims like the production path
+        uniq, Cind = np.unique(err0, return_inverse=True)
+        Cind = Cind.astype(np.int32)
+        s2_frozen = jnp.asarray(uniq**2, dtype=dtype)
+
+    Gs = jnp.zeros((n, m0.N, d), dtype=dtype)
+    M0s = jnp.zeros((n, m0.N, d), dtype=dtype)
+    n_obs = jnp.sum(valid) * d
+
+    def nll(params):
+        Bs, Sigs, C0s = _dynamics_from_params(
+            consts, params["log_D"], params["log_k"], dt, dtype)
+        s2 = (s2_frozen if mode == "off"
+              else jnp.atleast_1d(jnp.exp(2.0 * params["log_err"])))
+
+        def one(prof, y, v):
+            return msrouse_logL_batch(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
+                                      prof[None], y, v)[0]
+
+        ll = jax.vmap(one)(profiles, ydata, valid)
+        return -jnp.sum(ll) / n_obs.astype(dtype)
+
+    return nll, params0
+
+
+@dataclasses.dataclass
+class FitResult:
+    """Outcome of `fit_rouse`. ``nll_trace[0]`` is the initial objective."""
+    D: float
+    k: float
+    localization_error: np.ndarray        # (d,) — fitted or frozen
+    params: dict                          # raw optimized pytree
+    nll_trace: np.ndarray                 # (steps + 1,)
+    grad_norm: float                      # at the optimum
+    model: object                         # re-built calibrated MultiStateRouse
+
+    @property
+    def converged(self) -> bool:
+        """Heuristic: relative objective change over the last 10% of steps."""
+        tail = max(2, len(self.nll_trace) // 10)
+        a, b = self.nll_trace[-tail], self.nll_trace[-1]
+        return bool(abs(a - b) <= 1e-6 * max(1.0, abs(b)))
+
+
+def fit_rouse(model, data, profiles, *, fit_localization=True,
+              steps: int = 300, learning_rate: float = 0.05,
+              optimizer=None) -> FitResult:
+    """
+    Maximum-likelihood calibration of ``(D, k[, localization_error])``
+    given trajectories and their looping profiles.
+
+    All parameters are optimized in log space (positivity for free) with
+    optax adam by default; pass any optax ``GradientTransformation`` via
+    ``optimizer`` to override. The full optimization loop runs inside one
+    jitted `lax.scan` — a single device dispatch regardless of ``steps``.
+
+    See `make_rouse_nll` for the argument contract and the module
+    docstring for scope (the reference has no analog of this function).
+    """
+    import optax
+
+    nll, params0 = make_rouse_nll(model, data, profiles,
+                                  fit_localization=fit_localization)
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+
+    @jax.jit
+    def run(params):
+        state = opt.init(params)
+
+        def step(carry, _):
+            params, state = carry
+            val, grads = jax.value_and_grad(nll)(params)
+            updates, state = opt.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, state), val
+
+        (params, _), vals = jax.lax.scan(step, (params, state), None,
+                                         length=steps)
+        # vals[i] = objective BEFORE step i; append the post-fit value
+        gnorm = optax.global_norm(jax.grad(nll)(params))
+        return params, jnp.concatenate([vals, nll(params)[None]]), gnorm
+
+    params, trace, gnorm = run(params0)
+    params = jax.device_get(params)
+    trace = np.asarray(trace, dtype=float)
+
+    D = float(np.exp(params["log_D"]))
+    k = float(np.exp(params["log_k"]))
+    m0 = model.models[0]
+    d = model.d
+    if fit_localization:
+        err = np.broadcast_to(
+            np.exp(np.asarray(params["log_err"], dtype=float)), (d,))
+    else:
+        if model.localization_error is not None:
+            err = np.broadcast_to(np.asarray(model.localization_error,
+                                             dtype=float), (d,))
+        else:
+            ydata, valid, trajs = _as_batch_arrays(data)
+            err = np.broadcast_to(model._get_noise(trajs[0]), (d,))
+
+    from .models import MultiStateRouse
+    fitted = MultiStateRouse(
+        m0.N, D, k, d=d,
+        looppositions=[m.add_bonds for m in model.models],
+        measurement=np.asarray(model.measurement),
+        localization_error=err.copy(),
+        dt=m0.dt)
+    fitted.transitions = model.transitions.copy()  # preserve customizations
+
+    return FitResult(D=D, k=k, localization_error=err, params=params,
+                     nll_trace=trace, grad_norm=float(gnorm), model=fitted)

@@ -1,0 +1,123 @@
+"""
+Gradient-based parameter calibration (`bild_tpu.fit`) — a capability the
+reference cannot offer (its kernel is compiled Cython,
+``bild/src/MSRouse_logL.pyx``): exactness of the differentiable dynamics
+map, gradient correctness vs finite differences, and MLE recovery of
+ground-truth parameters from simulated data.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bild_tpu.fit import (FitResult, _dynamics_from_params, _spectral_consts,
+                          fit_rouse, make_rouse_nll)
+from bild_tpu.models import MultiStateRouse
+
+
+def _model(N=8, D=1.0, k=5.0, err=0.1, d=3):
+    return MultiStateRouse(N, D, k, d=d, localization_error=err)
+
+
+def test_dynamics_map_matches_construction():
+    """(log D, log k) -> (B, Sig, C0) must reproduce RouseModel's own
+    arrays at the model's parameters, for looped and unlooped states."""
+    model = _model(N=10, D=0.7, k=3.2)
+    consts = _spectral_consts(model)
+    Bs, Sigs, C0s = _dynamics_from_params(
+        consts, jnp.log(0.7), jnp.log(3.2), model.models[0].dt, jnp.float64)
+    np.testing.assert_allclose(np.asarray(Bs), np.asarray(model.Bs),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Sigs), np.asarray(model.Sigs),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(C0s), np.asarray(model.C0s),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_gradient_matches_finite_differences():
+    model = _model(N=5)
+    prof = np.zeros(20, dtype=int)
+    prof[7:14] = 1
+    traj = model.trajectory_from_loopingprofile(prof, key=jax.random.key(3))
+    nll, p0 = make_rouse_nll(model, traj, prof, fit_localization="vector")
+
+    g = jax.grad(nll)(p0)
+    eps = 1e-6
+    for name in ("log_D", "log_k"):
+        p_hi = dict(p0); p_hi[name] = p0[name] + eps
+        p_lo = dict(p0); p_lo[name] = p0[name] - eps
+        fd = (nll(p_hi) - nll(p_lo)) / (2 * eps)
+        np.testing.assert_allclose(float(g[name]), float(fd),
+                                   rtol=1e-5, atol=1e-8, err_msg=name)
+    # localization-error gradient (vector): probe dim 0
+    p_hi = dict(p0); p_hi["log_err"] = p0["log_err"].at[0].add(eps)
+    p_lo = dict(p0); p_lo["log_err"] = p0["log_err"].at[0].add(-eps)
+    fd = (nll(p_hi) - nll(p_lo)) / (2 * eps)
+    np.testing.assert_allclose(float(g["log_err"][0]), float(fd),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_nll_matches_likelihood_path():
+    """At the model's own parameters the objective equals the production
+    likelihood path (same kernel, wrapped differently)."""
+    model = _model(N=8)
+    prof = np.zeros(40, dtype=int)
+    prof[10:25] = 1
+    traj = model.trajectory_from_loopingprofile(prof, key=jax.random.key(9))
+    nll, p0 = make_rouse_nll(model, traj, prof, fit_localization=False)
+    expect = -float(model.logL(prof, traj)) / (traj.count_valid_frames() * model.d)
+    np.testing.assert_allclose(float(nll(p0)), expect, rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_fit_recovers_parameters():
+    D_true, k_true, err_true = 1.0, 5.0, 0.1
+    model = _model(N=8, D=D_true, k=k_true, err=err_true)
+    rng = np.random.default_rng(42)
+    B, T = 24, 100
+    profiles = np.zeros((B, T), dtype=int)
+    for b in range(B):                      # 1-3 looped segments per traj
+        for _ in range(rng.integers(1, 4)):
+            t0 = rng.integers(0, T - 10)
+            profiles[b, t0:t0 + rng.integers(5, 30)] = 1
+    batch = model.trajectories_from_loopingprofiles(profiles,
+                                                    key=jax.random.key(7))
+
+    start = _model(N=8, D=2.5 * D_true, k=0.4 * k_true, err=2.0 * err_true)
+    fit = fit_rouse(start, batch, profiles, steps=400, learning_rate=0.05)
+
+    assert isinstance(fit, FitResult)
+    assert fit.nll_trace[-1] < fit.nll_trace[0] - 0.1   # moved substantially
+    # MLE beats (or matches) the truth parameters on this dataset
+    nll, _ = make_rouse_nll(start, batch, profiles)
+    p_truth = {"log_D": jnp.log(D_true), "log_k": jnp.log(k_true),
+               "log_err": jnp.asarray(np.log(err_true))}
+    assert fit.nll_trace[-1] <= float(nll(p_truth)) + 1e-3
+    # and lands near the truth (default = shared isotropic error)
+    assert abs(np.log(fit.D / D_true)) < 0.35
+    assert abs(np.log(fit.k / k_true)) < 0.35
+    assert len(set(fit.localization_error)) == 1    # scalar mode: isotropic
+    assert abs(np.log(fit.localization_error[0] / err_true)) < 0.35
+    assert fit.grad_norm < 0.1
+
+    # the returned calibrated model is usable on the production path
+    t0 = model.trajectory_from_loopingprofile(profiles[0],
+                                              key=jax.random.key(1))
+    ll = fit.model.logL_batch(profiles[:2, :], t0)
+    assert np.all(np.isfinite(np.asarray(ll)))
+    assert fit.model.nStates == model.nStates
+
+
+def test_fit_frozen_localization():
+    """fit_localization=False freezes the error (dedup fast path) and the
+    result reports the frozen value."""
+    model = _model(N=6, err=0.15)
+    prof = np.zeros(30, dtype=int)
+    prof[5:20] = 1
+    traj = model.trajectory_from_loopingprofile(prof, key=jax.random.key(5))
+    fit = fit_rouse(model, traj, prof, fit_localization=False, steps=30,
+                    learning_rate=0.02)
+    assert "log_err" not in fit.params
+    np.testing.assert_allclose(fit.localization_error, 0.15 * np.ones(3))
+    assert fit.nll_trace[-1] <= fit.nll_trace[0] + 1e-9
