@@ -125,10 +125,34 @@ def report(out=sys.stdout, show_missing=False):
           f"{100 * tot_h / tot_e:>5.0f}%", file=out)
 
 
+def dump_data(path):
+    """Write the raw hit data (file -> executed lines) as JSON, for merging
+    across processes with `load_data` / the CLI ``merge`` command."""
+    import json
+    with open(path, "w") as f:
+        json.dump({fn: sorted(lines) for fn, lines in _executed.items()}, f)
+
+
+def load_data(path):
+    """Merge a `dump_data` JSON file into the current hit data."""
+    import json
+    with open(path) as f:
+        for fn, lines in json.load(f).items():
+            _executed.setdefault(fn, set()).update(lines)
+
+
 def _report_at_exit():
     # pytest closes the capture streams before atexit runs: write the
     # report to a file and best-effort echo it to the real stderr
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data_path = os.environ.get("COV_DATA")
+    if data_path:
+        # chunked mode: emit raw data only; a later `merge` builds the
+        # report (lets the suite run as several pytest processes, so one
+        # tracer-vs-XLA crash — observed rarely on this image — only
+        # costs that chunk)
+        dump_data(data_path)
+        return
     path = os.path.join(here, "COVERAGE.txt")
     show_missing = os.environ.get("COV_MISSING") not in (None, "", "0")
     with open(path, "w") as f:
@@ -142,9 +166,34 @@ def _report_at_exit():
 
 
 def start_from_env():
-    """Start collection if COV=1, and write COVERAGE.txt at interpreter
+    """Start collection if COV=1, and write COVERAGE.txt (or, with
+    COV_DATA=file.json set, the raw mergeable hit data) at interpreter
     exit. Call from conftest before importing the package."""
     if os.environ.get("COV") not in (None, "", "0"):
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         start(os.path.join(here, "bild_tpu"))
         atexit.register(_report_at_exit)
+
+
+def main(argv):
+    """CLI: ``python tools/simplecov.py merge OUT.txt DATA.json [...]`` —
+    merge chunked COV_DATA dumps into a COVERAGE.txt-style report."""
+    global _prefix
+    if len(argv) < 3 or argv[0] != "merge":
+        print(__doc__)
+        print("usage: simplecov.py merge OUT.txt DATA.json [DATA.json ...]")
+        return 2
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _prefix = os.path.join(here, "bild_tpu") + os.sep
+    for p in argv[2:]:
+        load_data(p)
+    show_missing = os.environ.get("COV_MISSING") not in (None, "", "0")
+    with open(argv[1], "w") as f:
+        report(out=f, show_missing=show_missing)
+    with open(argv[1]) as f:
+        sys.stdout.write(f.read())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
