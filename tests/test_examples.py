@@ -47,3 +47,9 @@ def test_ggm_model(capsys):
     _run("ggm_model")
     out = capsys.readouterr().out
     assert "dataset: mean frame accuracy" in out
+
+
+def test_calibrate_params(capsys):
+    _run("calibrate_params")
+    out = capsys.readouterr().out
+    assert "frame accuracy with calibrated model:" in out
