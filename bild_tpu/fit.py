@@ -60,7 +60,8 @@ from .ops.kalman import msrouse_logL_batch
 from .physics.rouse import _build_laplacian, _FREE_MODE_TOL
 from .trajectory import Trajectory
 
-__all__ = ["fit_rouse", "FitResult", "make_rouse_nll"]
+__all__ = ["fit_rouse", "FitResult", "make_rouse_nll", "calibrate_rouse",
+           "CalibrationResult"]
 
 
 def _spectral_consts(model):
@@ -306,3 +307,99 @@ def fit_rouse(model, data, profiles, *, fit_localization=True,
 
     return FitResult(D=D, k=k, localization_error=err, params=params,
                      nll_trace=trace, grad_norm=float(gnorm), model=fitted)
+
+
+@dataclasses.dataclass
+class CalibrationResult:
+    """Outcome of `calibrate_rouse`: the final calibrated model, the last
+    inference results, and the per-round fit history."""
+    model: object                         # calibrated MultiStateRouse
+    results: object                       # BatchResults of the final round
+    fits: list                            # FitResult per round
+    profiles: np.ndarray                  # (B, T) final MAP profiles
+
+    @property
+    def D(self):
+        return self.fits[-1].D
+
+    @property
+    def k(self):
+        return self.fits[-1].k
+
+    @property
+    def localization_error(self):
+        return self.fits[-1].localization_error
+
+
+def calibrate_rouse(model, data, *, rounds: int = 2,
+                    sample_kwargs: dict | None = None,
+                    fit_kwargs: dict | None = None,
+                    key=None) -> CalibrationResult:
+    """
+    Joint profile inference + parameter calibration by hard-EM alternation.
+
+    Each round runs lockstep batched inference
+    (`parallel.sample_batch`) with the current parameters, takes the MAP
+    looping profiles, and refits ``(D, k[, localization_error])`` by
+    gradient MLE given those profiles (`fit_rouse`). This is
+    Viterbi-style (hard) EM: the E-step keeps only the MAP profile, which
+    is standard practice and accurate when profiles are well determined
+    (per-frame posteriors here are typically >0.99 — PERF `5p`); the
+    profile-posterior-averaged variant would require per-sample weighting
+    and is not implemented.
+
+    **Hard EM is a local method — start inside the basin.** With starting
+    parameters within a few tens of percent (e.g. from an MSD fit, or
+    `fit_rouse` against a constant-state profile), alternation converges:
+    measured at B=12, T=60, (D, k) 35% off, per-round nll 1.204 -> 1.178
+    -> 1.155 with final parameters within 15% and 94% frame accuracy. From
+    a 2x-off start with a small sampling budget, the first E-step can lock
+    onto a label-swapped profile assignment (96% of frames called looped
+    where the truth is 29%) and the M-step then diverges — the per-round
+    ``fits[i].nll_trace`` is the diagnostic to watch: it must DECREASE
+    across rounds on a common scale. When in doubt, freeze the
+    localization error (``fit_kwargs=dict(fit_localization=False)``); a
+    learnable error absorbs E-step profile mistakes first.
+
+    No reference analog: the reference calibrates parameters externally
+    before inference and cannot iterate (its kernel is not
+    differentiable).
+
+    Parameters
+    ----------
+    model : MultiStateRouse — starting parameters and state structure
+    data : Trajectory | TrajectoryBatch | sequence of Trajectory
+    rounds : alternation count (2 is usually enough; parameters move in
+        round 1, profiles react in round 2)
+    sample_kwargs / fit_kwargs : forwarded to `parallel.sample_batch` /
+        `fit_rouse`
+    key : PRNG key for the inference passes (split per round)
+
+    Returns
+    -------
+    CalibrationResult
+    """
+    from .parallel import sample_batch
+
+    _, _, trajs = _as_batch_arrays(data)
+    if trajs is not None:
+        from .parallel import stack_trajectories
+        batch = stack_trajectories(trajs)
+    else:
+        batch = data
+    if key is None:
+        key = jax.random.key(0)
+
+    sample_kwargs = dict(sample_kwargs or {})
+    fit_kwargs = dict(fit_kwargs or {})
+    fits, res, profiles = [], None, None
+    for r in range(rounds):
+        key, sub = jax.random.split(key)
+        res = sample_batch(model, batch, key=sub, **sample_kwargs)
+        profiles = np.asarray(res.best_profile())
+        fit = fit_rouse(model, batch, profiles, **fit_kwargs)
+        fits.append(fit)
+        model = fit.model
+
+    return CalibrationResult(model=model, results=res, fits=fits,
+                             profiles=profiles)

@@ -121,3 +121,47 @@ def test_fit_frozen_localization():
     assert "log_err" not in fit.params
     np.testing.assert_allclose(fit.localization_error, 0.15 * np.ones(3))
     assert fit.nll_trace[-1] <= fit.nll_trace[0] + 1e-9
+
+
+@pytest.mark.slow
+def test_calibrate_rouse_alternation():
+    """Hard-EM alternation: inference profiles feed the fit, parameters
+    move toward truth, and the final results/model are consistent."""
+    from bild_tpu.fit import CalibrationResult, calibrate_rouse
+
+    D_true, k_true = 1.0, 5.0
+    model = _model(N=6, D=D_true, k=k_true, err=0.1)
+    rng = np.random.default_rng(3)
+    B, T = 12, 60
+    profiles = np.zeros((B, T), dtype=int)
+    for b in range(B):
+        t0 = rng.integers(0, T // 2)
+        profiles[b, t0:t0 + rng.integers(10, 30)] = 1
+    batch = model.trajectories_from_loopingprofiles(profiles,
+                                                    key=jax.random.key(8))
+
+    # in-basin start (the documented contract: tens of percent, not 2x —
+    # see calibrate_rouse's docstring for the measured divergence outside)
+    start = _model(N=6, D=1.35 * D_true, k=0.7 * k_true, err=0.1)
+    cal = calibrate_rouse(
+        start, batch, rounds=2,
+        sample_kwargs=dict(k_max=3, steps_per_k=8, N=64),
+        fit_kwargs=dict(steps=150, learning_rate=0.05,
+                        fit_localization=False),
+        key=jax.random.key(1))
+
+    assert isinstance(cal, CalibrationResult)
+    assert len(cal.fits) == 2
+    # parameters moved toward truth
+    assert abs(np.log(cal.D / D_true)) < abs(np.log(1.35))
+    assert abs(np.log(cal.k / k_true)) < abs(np.log(0.7))
+    # the convergence diagnostic the docstring prescribes: nll decreases
+    # across rounds
+    assert cal.fits[1].nll_trace[-1] < cal.fits[0].nll_trace[0]
+    # final artifacts are mutually consistent
+    assert cal.profiles.shape == (B, T)
+    np.testing.assert_array_equal(cal.profiles,
+                                  np.asarray(cal.results.best_profile()))
+    assert cal.model.nStates == 2
+    # profiles from the calibrated run track the truth
+    assert np.mean(cal.profiles == profiles) > 0.85
