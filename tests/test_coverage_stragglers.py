@@ -182,3 +182,16 @@ def test_segment_guess_no_table_returns_none():
 
     traj = Trajectory.create(np.ones((5, 1)))
     assert Bare().segment_guess(traj, 1) is None
+
+
+def test_profiling_trace_writes_logdir(tmp_path):
+    """`utils.profiling.trace` brackets a block with the JAX profiler and
+    leaves a trace dump in the log directory."""
+    import jax.numpy as jnp
+
+    from bild_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)):
+        jnp.square(jnp.arange(16.0)).block_until_ready()
+    written = [p for p in tmp_path.rglob("*") if p.is_file()]
+    assert written, "profiler produced no trace files"

@@ -15,6 +15,14 @@ _WORKER = textwrap.dedent("""
     import os, sys
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     port, pid = sys.argv[1], int(sys.argv[2])
+    # under COV=1, collect this worker's line coverage and dump it for the
+    # parent test to merge (simplecov.load_data) — the multi-process mesh
+    # branches only execute here
+    if os.environ.get("COV") not in (None, "", "0"):
+        sys.path.insert(0, os.path.join({repo!r}, "tools"))
+        import atexit, simplecov
+        simplecov.start(os.path.join({repo!r}, "bild_tpu"))
+        atexit.register(simplecov.dump_data, "cov_worker%d.json" % pid)
     import jax
     jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, {repo!r})
@@ -42,6 +50,17 @@ def _free_port():
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
+
+
+def _merge_worker_cov(dirpath):
+    """Fold worker-process coverage dumps into this process's collector so
+    the suite's COVERAGE.txt counts the multi-process-only branches."""
+    import os
+    if os.environ.get("COV") in (None, "", "0"):
+        return
+    import simplecov
+    for p in dirpath.glob("cov_worker*.json"):
+        simplecov.load_data(str(p))
 
 
 # Shared dataset builder: executed verbatim in the workers AND in the parent
@@ -80,6 +99,12 @@ _DATASET_WORKER = textwrap.dedent("""
     import os, sys
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     port, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    if os.environ.get("COV") not in (None, "", "0"):
+        sys.path.insert(0, os.path.join({repo!r}, "tools"))
+        import atexit, simplecov
+        simplecov.start(os.path.join({repo!r}, "bild_tpu"))
+        atexit.register(simplecov.dump_data,
+                        os.path.join(outdir, "cov_worker%d.json" % pid))
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
@@ -145,6 +170,7 @@ def test_two_process_sample_dataset(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
         assert f"OK {i}" in out
+    _merge_worker_cov(tmp_path)
 
     import numpy as np
     res0 = np.load(tmp_path / "res0.npz")
@@ -207,3 +233,4 @@ def test_two_process_cpu_cluster(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"OK {i}" in out
+    _merge_worker_cov(tmp_path)
