@@ -8,7 +8,9 @@ runs `sample_dataset` on a MultiStateRouse looping model, and writes per-
 trajectory evidence curves, best switch counts, and MAP looping profiles —
 optionally boundary-optimized (``--optimize-boundaries``) and summarized
 into per-state dwell-time survival curves with confidence intervals
-(``--dwell-times``).
+(``--dwell-times``). ``--fit-params N`` first calibrates ``(D, k)`` by
+gradient maximum likelihood (`bild_tpu.fit.calibrate_rouse`) so the
+dataset run uses data-calibrated physics.
 The reference package has no CLI (library-only); this is the batteries-
 included path for the 10k-trajectory production runs it was built for.
 """
@@ -102,6 +104,15 @@ def build_parser():
                    help="per-state dwell-time statistics over the dataset: "
                         "censored samples, Kaplan-Meier survival curves, and "
                         "censored-exponential mean with confidence interval")
+    p.add_argument("--fit-params", type=int, default=0, metavar="ROUNDS",
+                   help="before the dataset run, calibrate D and k by "
+                        "gradient MLE with this many inference/fit "
+                        "alternations (bild_tpu.fit.calibrate_rouse) on "
+                        "--fit-subset trajectories; the localization error "
+                        "stays at --localization-error (0 = off)")
+    p.add_argument("--fit-subset", type=int, default=256,
+                   help="max trajectories used for --fit-params "
+                        "calibration (stacked into one padded batch)")
     p.add_argument("--dt", type=float, default=1.0,
                    help="frame interval in physical time units (dwell times)")
     p.add_argument("--mesh", action="store_true",
@@ -138,6 +149,23 @@ def main(argv=None):
                             looppositions=loops,
                             localization_error=args.localization_error)
 
+    fitted = None
+    if args.fit_params:
+        from .fit import calibrate_rouse
+        cal = calibrate_rouse(
+            model, trajs[:args.fit_subset], rounds=args.fit_params,
+            sample_kwargs=dict(k_max=args.k_max,
+                               steps_per_k=args.steps_per_k,
+                               N=args.proposals),
+            fit_kwargs=dict(fit_localization=False),
+            key=jax.random.key(args.seed + 1))
+        model = cal.model
+        fitted = (cal.D, cal.k)
+        if not args.quiet:
+            print(f"calibrated on {min(len(trajs), args.fit_subset)} "
+                  f"trajectories: D={cal.D:.4g} (from {args.D:.4g}), "
+                  f"k={cal.k:.4g} (from {args.k:.4g})")
+
     res = sample_dataset(
         model, trajs,
         k_max=args.k_max, steps_per_k=args.steps_per_k, N=args.proposals,
@@ -161,6 +189,8 @@ def main(argv=None):
         "lengths": np.array([len(p) for p in profiles]),
         "best_profiles": _object_array(profiles),
     }
+    if fitted is not None:
+        out["fitted_D"], out["fitted_k"] = fitted
     if args.marginals:
         out["log_marginal_posterior"] = _object_array(
             res.log_marginal_posterior(dE="average"))

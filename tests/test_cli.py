@@ -147,3 +147,19 @@ def test_cli_empty_input_fails_cleanly(tmp_path, capsys):
     rc = main([str(path), "--quiet"])
     assert rc == 1
     assert "no trajectories" in capsys.readouterr().err
+
+
+def test_cli_fit_params(tiny_csv, tmp_path):
+    """--fit-params calibrates (D, k) before the dataset run and records
+    the fitted values in the output npz."""
+    out = str(tmp_path / "res_fit.npz")
+    rc = main([tiny_csv, "--out", out, *CLI_FAST, "--fit-params", "1",
+               "--fit-subset", "4"])
+    assert rc == 0
+    res = np.load(out, allow_pickle=True)
+    # fitted parameters are recorded, positive, and differ from the
+    # starting values (the tiny dataset will not leave them untouched)
+    D, k = float(res["fitted_D"]), float(res["fitted_k"])
+    assert D > 0 and k > 0
+    assert (D, k) != (1.0, 5.0)
+    assert res["best_k"].shape == (4,)
