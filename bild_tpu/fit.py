@@ -123,6 +123,28 @@ def _as_batch_arrays(data):
     return jnp.asarray(batch.data), jnp.asarray(batch.valid), trajs
 
 
+def _coerce_profiles(profiles, B, T):
+    """(T,) / (B, T) arrays broadcast; ragged sequences (e.g.
+    ``sample_dataset(...).best_profile()``) pad to T with state 0 — padding
+    frames are invalid in the batch, so the value never reaches the
+    likelihood sum."""
+    if not isinstance(profiles, np.ndarray) or profiles.dtype == object:
+        seq = list(profiles)
+        if len(seq) and np.ndim(seq[0]) >= 1 \
+                and any(len(np.asarray(p)) != T for p in seq):
+            if len(seq) != B:
+                raise ValueError(f"got {len(seq)} profiles for {B} "
+                                 "trajectories")
+            out = np.zeros((B, T), dtype=np.int32)
+            for b, p in enumerate(seq):
+                p = np.asarray(p, dtype=np.int32)
+                out[b, :len(p)] = p
+            return jnp.asarray(out)
+        profiles = np.asarray([np.asarray(p) for p in seq]) \
+            if len(seq) and np.ndim(seq[0]) >= 1 else np.asarray(seq)
+    return jnp.asarray(np.broadcast_to(profiles.astype(np.int32), (B, T)))
+
+
 def make_rouse_nll(model, data, profiles, fit_localization=True):
     """
     Build the differentiable objective.
@@ -133,10 +155,13 @@ def make_rouse_nll(model, data, profiles, fit_localization=True):
         supplies the loop-state structure, measurement vector, dt, and the
         parameter initialization.
     data : Trajectory | TrajectoryBatch | sequence of Trajectory
-    profiles : (T,) or (B, T) int array
-        the looping profile believed to underlie each trajectory (ground
-        truth in simulation studies; ``res.best_profile()`` from a BILD run
-        otherwise).
+    profiles : (T,) or (B, T) int array, or sequence of per-trajectory
+        (T_b,) int arrays (ragged — e.g. ``sample_dataset(...)
+        .best_profile()``; each is padded to the batch length, which is
+        harmless because padding frames are invalid and carry no
+        likelihood). The looping profile believed to underlie each
+        trajectory: ground truth in simulation studies, the inferred MAP
+        otherwise.
     fit_localization : bool | "scalar" | "vector"
         ``True`` / ``"scalar"`` (default) fits ONE isotropic localization
         error shared by all spatial dimensions — per-dim errors are only
@@ -160,8 +185,7 @@ def make_rouse_nll(model, data, profiles, fit_localization=True):
     dtype = fdtype()
     ydata, valid, trajs = _as_batch_arrays(data)
     B, T, d = ydata.shape
-    profiles = jnp.asarray(np.broadcast_to(np.asarray(profiles, dtype=np.int32),
-                                           (B, T)))
+    profiles = _coerce_profiles(profiles, B, T)
 
     m0 = model.models[0]
     consts = _spectral_consts(model)

@@ -165,3 +165,29 @@ def test_calibrate_rouse_alternation():
     assert cal.model.nStates == 2
     # profiles from the calibrated run track the truth
     assert np.mean(cal.profiles == profiles) > 0.85
+
+
+def test_ragged_profiles_from_dataset_interface():
+    """`fit_rouse`'s documented typical use passes sample_dataset's ragged
+    best_profile() list; padding must be likelihood-neutral."""
+    model = _model(N=5)
+    lengths = [20, 14, 17]
+    profs = [np.concatenate([np.zeros(L // 2, int), np.ones(L - L // 2, int)])
+             for L in lengths]
+    trajs = [model.trajectory_from_loopingprofile(p, key=jax.random.key(i))
+             for i, p in enumerate(profs)]
+
+    nll, p0 = make_rouse_nll(model, trajs, profs)           # ragged list
+    padded = np.zeros((3, 20), dtype=int)
+    for b, p in enumerate(profs):
+        padded[b, :len(p)] = p
+    nll2, _ = make_rouse_nll(model, trajs, padded)          # explicit pad
+    v, v2 = float(nll(p0)), float(nll2(p0))
+    assert np.isfinite(v)
+    np.testing.assert_allclose(v, v2, rtol=1e-13)
+
+    fit = fit_rouse(model, trajs, profs, steps=10, learning_rate=0.02)
+    assert np.isfinite(fit.nll_trace).all()
+
+    with pytest.raises(ValueError, match="profiles for"):
+        make_rouse_nll(model, trajs, profs[:2])
