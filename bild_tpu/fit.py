@@ -123,11 +123,12 @@ def _as_batch_arrays(data):
     return jnp.asarray(batch.data), jnp.asarray(batch.valid), trajs
 
 
-def _coerce_profiles(profiles, B, T):
+def _coerce_profiles(profiles, B, T, valid):
     """(T,) / (B, T) arrays broadcast; ragged sequences (e.g.
     ``sample_dataset(...).best_profile()``) pad to T with state 0 — padding
     frames are invalid in the batch, so the value never reaches the
-    likelihood sum."""
+    likelihood sum. A profile SHORTER than its trajectory's frame count
+    would silently score real frames as state 0, so that is an error."""
     if not isinstance(profiles, np.ndarray) or profiles.dtype == object:
         seq = list(profiles)
         if len(seq) and np.ndim(seq[0]) >= 1 \
@@ -135,9 +136,17 @@ def _coerce_profiles(profiles, B, T):
             if len(seq) != B:
                 raise ValueError(f"got {len(seq)} profiles for {B} "
                                  "trajectories")
+            valid = np.asarray(valid)
+            # frame count = position of each row's last observed frame + 1
+            lengths = np.where(valid.any(axis=1),
+                               T - np.argmax(valid[:, ::-1], axis=1), 0)
             out = np.zeros((B, T), dtype=np.int32)
             for b, p in enumerate(seq):
                 p = np.asarray(p, dtype=np.int32)
+                if not lengths[b] <= len(p) <= T:
+                    raise ValueError(
+                        f"profile {b} has {len(p)} frames but trajectory "
+                        f"{b} has {lengths[b]} (batch padded to {T})")
                 out[b, :len(p)] = p
             return jnp.asarray(out)
         profiles = np.asarray([np.asarray(p) for p in seq]) \
@@ -145,7 +154,33 @@ def _coerce_profiles(profiles, B, T):
     return jnp.asarray(np.broadcast_to(profiles.astype(np.int32), (B, T)))
 
 
-def make_rouse_nll(model, data, profiles, fit_localization=True):
+def _resolve_err0(model, trajs, d):
+    """Starting/frozen localization error, resolved like the likelihood
+    path (``bild/models.py:255-263`` semantics: an explicit model value
+    wins, else per-trajectory metadata). The fit shares ONE noise level
+    across the batch, so heterogeneous per-trajectory errors are an error
+    rather than a silent collapse to trajectory 0's value."""
+    if model.localization_error is not None:
+        err0 = np.asarray(model.localization_error, dtype=float)
+    elif trajs is not None:
+        errs = np.stack([np.broadcast_to(
+            np.asarray(model._get_noise(t), dtype=float), (d,))
+            for t in trajs])
+        if not (errs == errs[0]).all():
+            raise ValueError(
+                "trajectories carry heterogeneous localization errors; the "
+                "fit shares one noise level across the batch — set "
+                "model.localization_error explicitly or fit homogeneous "
+                "subsets")
+        err0 = errs[0]
+    else:
+        raise ValueError("fitting a TrajectoryBatch requires "
+                         "model.localization_error to be set")
+    return np.broadcast_to(err0, (d,))
+
+
+def make_rouse_nll(model, data, profiles, fit_localization=True,
+                   weights=None):
     """
     Build the differentiable objective.
 
@@ -161,7 +196,16 @@ def make_rouse_nll(model, data, profiles, fit_localization=True):
         harmless because padding frames are invalid and carry no
         likelihood). The looping profile believed to underlie each
         trajectory: ground truth in simulation studies, the inferred MAP
-        otherwise.
+        otherwise. With ``weights``: a ``(B, M, T)`` array of M candidate
+        profiles per trajectory (e.g. `BatchResults.profile_ensemble`).
+    weights : optional (B, M) array
+        posterior weights over M candidate profiles per trajectory (each
+        row summing to 1). The objective becomes the posterior-EXPECTED
+        negative log-likelihood ``-sum_b sum_m w_bm logL(theta; prof_bm,
+        y_b)`` — the proper EM M-step (soft EM), replacing the
+        MAP-profile point estimate (hard EM). Rows of zero weight are
+        masked before the multiply so a ``-inf`` likelihood on a
+        zero-weight candidate cannot poison the sum.
     fit_localization : bool | "scalar" | "vector"
         ``True`` / ``"scalar"`` (default) fits ONE isotropic localization
         error shared by all spatial dimensions — per-dim errors are only
@@ -182,10 +226,27 @@ def make_rouse_nll(model, data, profiles, fit_localization=True):
         initialization pytree: ``log_D``, ``log_k`` scalars and, when
         ``fit_localization``, ``log_err`` of shape (d,).
     """
+    nll, params0, _ = _build_nll(model, data, profiles, fit_localization,
+                                 weights)
+    return nll, params0
+
+
+def _build_nll(model, data, profiles, fit_localization, weights=None):
+    """`make_rouse_nll` body; also returns the resolved starting error so
+    `fit_rouse` does not re-derive (and cannot drift from) it."""
     dtype = fdtype()
     ydata, valid, trajs = _as_batch_arrays(data)
     B, T, d = ydata.shape
-    profiles = _coerce_profiles(profiles, B, T)
+    if weights is not None:
+        profiles = jnp.asarray(np.asarray(profiles, dtype=np.int32))
+        weights = jnp.asarray(np.asarray(weights), dtype=dtype)
+        if profiles.shape[:2] != weights.shape or profiles.shape != \
+                (B, weights.shape[1], T):
+            raise ValueError(
+                f"weighted profiles must be (B={B}, M, T={T}) with (B, M) "
+                f"weights; got {profiles.shape} / {weights.shape}")
+    else:
+        profiles = _coerce_profiles(profiles, B, T, valid)
 
     m0 = model.models[0]
     consts = _spectral_consts(model)
@@ -193,15 +254,7 @@ def make_rouse_nll(model, data, profiles, fit_localization=True):
     dt = m0.dt
     w = model.w.astype(dtype)
 
-    # localization error: resolve like the likelihood path does
-    if trajs is not None:
-        err0 = model._get_noise(trajs[0])
-    elif model.localization_error is not None:
-        err0 = np.asarray(model.localization_error)
-    else:
-        raise ValueError("fitting a TrajectoryBatch requires "
-                         "model.localization_error to be set")
-    err0 = np.broadcast_to(np.asarray(err0, dtype=float), (d,))
+    err0 = _resolve_err0(model, trajs, d)
 
     mode = {True: "scalar", False: "off"}.get(fit_localization,
                                               fit_localization)
@@ -234,14 +287,39 @@ def make_rouse_nll(model, data, profiles, fit_localization=True):
         s2 = (s2_frozen if mode == "off"
               else jnp.atleast_1d(jnp.exp(2.0 * params["log_err"])))
 
-        def one(prof, y, v):
-            return msrouse_logL_batch(Bs, Gs, Sigs, M0s, C0s, w, s2, Cind,
-                                      prof[None], y, v)[0]
+        if weights is None:
+            def one(prof, y, v):
+                return msrouse_logL_batch(Bs, Gs, Sigs, M0s, C0s, w, s2,
+                                          Cind, prof[None], y, v)[0]
 
-        ll = jax.vmap(one)(profiles, ydata, valid)
-        return -jnp.sum(ll) / n_obs.astype(dtype)
+            ll = jax.vmap(one)(profiles, ydata, valid)
+            return -jnp.sum(ll) / n_obs.astype(dtype)
 
-    return nll, params0
+        def one(profs, y, v):                       # profs: (M, T)
+            return msrouse_logL_batch(Bs, Gs, Sigs, M0s, C0s, w, s2,
+                                      Cind, profs, y, v)
+
+        ll = jax.vmap(one)(profiles, ydata, valid)  # (B, M)
+        ll = jnp.where(weights > 0, ll, 0.0)        # mask 0 * (-inf)
+        return -jnp.sum(weights * ll) / n_obs.astype(dtype)
+
+    return nll, params0, err0
+
+
+def _rebuild_model(model, D, k, err):
+    """`MultiStateRouse` clone with new ``(D, k, localization_error)``,
+    preserving loop structure, measurement, dt, and transition-matrix
+    customizations."""
+    from .models import MultiStateRouse
+    m0 = model.models[0]
+    fitted = MultiStateRouse(
+        m0.N, D, k, d=model.d,
+        looppositions=[m.add_bonds for m in model.models],
+        measurement=np.asarray(model.measurement),
+        localization_error=np.asarray(err, dtype=float).copy(),
+        dt=m0.dt)
+    fitted.transitions = model.transitions.copy()
+    return fitted
 
 
 @dataclasses.dataclass
@@ -265,7 +343,7 @@ class FitResult:
 
 def fit_rouse(model, data, profiles, *, fit_localization=True,
               steps: int = 300, learning_rate: float = 0.05,
-              optimizer=None) -> FitResult:
+              optimizer=None, weights=None) -> FitResult:
     """
     Maximum-likelihood calibration of ``(D, k[, localization_error])``
     given trajectories and their looping profiles.
@@ -275,13 +353,14 @@ def fit_rouse(model, data, profiles, *, fit_localization=True,
     ``optimizer`` to override. The full optimization loop runs inside one
     jitted `lax.scan` — a single device dispatch regardless of ``steps``.
 
-    See `make_rouse_nll` for the argument contract and the module
+    See `make_rouse_nll` for the argument contract — including ``weights``
+    for the posterior-expected (soft-EM) objective — and the module
     docstring for scope (the reference has no analog of this function).
     """
     import optax
 
-    nll, params0 = make_rouse_nll(model, data, profiles,
-                                  fit_localization=fit_localization)
+    nll, params0, err0 = _build_nll(model, data, profiles, fit_localization,
+                                    weights)
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 
     @jax.jit
@@ -313,21 +392,9 @@ def fit_rouse(model, data, profiles, *, fit_localization=True,
         err = np.broadcast_to(
             np.exp(np.asarray(params["log_err"], dtype=float)), (d,))
     else:
-        if model.localization_error is not None:
-            err = np.broadcast_to(np.asarray(model.localization_error,
-                                             dtype=float), (d,))
-        else:
-            ydata, valid, trajs = _as_batch_arrays(data)
-            err = np.broadcast_to(model._get_noise(trajs[0]), (d,))
+        err = err0
 
-    from .models import MultiStateRouse
-    fitted = MultiStateRouse(
-        m0.N, D, k, d=d,
-        looppositions=[m.add_bonds for m in model.models],
-        measurement=np.asarray(model.measurement),
-        localization_error=err.copy(),
-        dt=m0.dt)
-    fitted.transitions = model.transitions.copy()  # preserve customizations
+    fitted = _rebuild_model(model, D, k, err)
 
     return FitResult(D=D, k=k, localization_error=err, params=params,
                      nll_trace=trace, grad_norm=float(gnorm), model=fitted)
@@ -341,6 +408,9 @@ class CalibrationResult:
     results: object                       # BatchResults of the final round
     fits: list                            # FitResult per round
     profiles: np.ndarray                  # (B, T) final MAP profiles
+    # round-0 neutral (constant-profile) fit when init="neutral"; its nll is
+    # NOT comparable to fits[i].nll_trace (different conditioning profiles)
+    pre_fit: object = None
 
     @property
     def D(self):
@@ -356,32 +426,47 @@ class CalibrationResult:
 
 
 def calibrate_rouse(model, data, *, rounds: int = 2,
+                    mode: str = "hard", ensemble: int = 16,
+                    init: str = "neutral",
                     sample_kwargs: dict | None = None,
                     fit_kwargs: dict | None = None,
                     key=None) -> CalibrationResult:
     """
-    Joint profile inference + parameter calibration by hard-EM alternation.
+    Joint profile inference + parameter calibration by EM alternation.
 
     Each round runs lockstep batched inference
-    (`parallel.sample_batch`) with the current parameters, takes the MAP
-    looping profiles, and refits ``(D, k[, localization_error])`` by
-    gradient MLE given those profiles (`fit_rouse`). This is
-    Viterbi-style (hard) EM: the E-step keeps only the MAP profile, which
-    is standard practice and accurate when profiles are well determined
-    (per-frame posteriors here are typically >0.99 — PERF `5p`); the
-    profile-posterior-averaged variant would require per-sample weighting
-    and is not implemented.
+    (`parallel.sample_batch`) with the current parameters, then refits
+    ``(D, k[, localization_error])`` by gradient MLE (`fit_rouse`). Two
+    E-step flavors:
 
-    **Hard EM is a local method — start inside the basin.** With starting
-    parameters within a few tens of percent (e.g. from an MSD fit, or
-    `fit_rouse` against a constant-state profile), alternation converges:
-    measured at B=12, T=60, (D, k) 35% off, per-round nll 1.204 -> 1.178
-    -> 1.155 with final parameters within 15% and 94% frame accuracy. From
-    a 2x-off start with a small sampling budget, the first E-step can lock
-    onto a label-swapped profile assignment (96% of frames called looped
-    where the truth is 29%) and the M-step then diverges — the per-round
-    ``fits[i].nll_trace`` is the diagnostic to watch: it must DECREASE
-    across rounds on a common scale. When in doubt, freeze the
+    - ``mode="hard"`` (Viterbi-style EM): the M-step sees only each
+      trajectory's MAP profile. Accurate when profiles are well
+      determined (per-frame posteriors here are typically >0.99 — PERF
+      `5p`), and the cheapest option.
+    - ``mode="soft"`` (proper EM on the truncated posterior): the M-step
+      minimizes the posterior-EXPECTED negative log-likelihood over each
+      trajectory's ``ensemble`` highest-weight sampled profiles
+      (`BatchResults.profile_ensemble` — the standard truncated
+      importance-sampling approximation of the E-step). Costs ``ensemble``
+      likelihood evaluations per trajectory per fit step. Measured (B=12,
+      T=60, both in-basin and 2x-off starts): results statistically
+      indistinguishable from hard EM — the posterior concentrates fast
+      enough here that hedging buys nothing; the option exists for
+      low-information regimes (short/noisy trajectories) where the MAP
+      profile is a poor summary.
+
+    **EM is a local method; the neutral init is what widens the basin.**
+    By default (``init="neutral"``) round 0 fits ``(D, k[, error])``
+    against the constant ground-state profile — an MSD-level calibration
+    needing NO sampling — and alternation starts from there. Measured at
+    B=12, T=60: a 2x-off start diverges without it (both modes end at
+    k 0.88 vs true 5, frame accuracy 0.33 — the first E-step locks onto a
+    label-swapped profile assignment and the M-step follows) and converges
+    with it (D 0.94, k 4.69, frame accuracy 0.982); an in-basin 35%-off
+    start also improves (accuracy 0.982 vs 0.951). Use ``init="model"``
+    to start the alternation at the passed model's own parameters. The
+    per-round ``fits[i].nll_trace`` is the diagnostic to watch: it must
+    DECREASE across rounds on a common scale. When in doubt, freeze the
     localization error (``fit_kwargs=dict(fit_localization=False)``); a
     learnable error absorbs E-step profile mistakes first.
 
@@ -391,10 +476,18 @@ def calibrate_rouse(model, data, *, rounds: int = 2,
 
     Parameters
     ----------
-    model : MultiStateRouse — starting parameters and state structure
+    model : MultiStateRouse — starting parameters and state structure.
+        If ``model.localization_error`` is None, the (homogeneous)
+        per-trajectory metadata is resolved into the model up front —
+        lockstep sampling shares one noise model across the batch.
     data : Trajectory | TrajectoryBatch | sequence of Trajectory
     rounds : alternation count (2 is usually enough; parameters move in
         round 1, profiles react in round 2)
+    mode : "hard" (MAP profile M-step) or "soft" (posterior-weighted)
+    ensemble : candidate profiles per trajectory in soft mode (capped at
+        the per-lane ensemble size, see `parallel.sample_batch`)
+    init : "neutral" (default — round-0 constant-profile fit, see above)
+        or "model" (start at the passed model's parameters)
     sample_kwargs / fit_kwargs : forwarded to `parallel.sample_batch` /
         `fit_rouse`
     key : PRNG key for the inference passes (split per round)
@@ -403,27 +496,55 @@ def calibrate_rouse(model, data, *, rounds: int = 2,
     -------
     CalibrationResult
     """
-    from .parallel import sample_batch
+    from .parallel import sample_batch, stack_trajectories
 
-    _, _, trajs = _as_batch_arrays(data)
-    if trajs is not None:
-        from .parallel import stack_trajectories
+    if isinstance(data, Trajectory):
+        trajs = [data]
         batch = stack_trajectories(trajs)
-    else:
+    elif hasattr(data, "data") and hasattr(data, "valid"):  # TrajectoryBatch
+        trajs = None
         batch = data
+    else:
+        trajs = list(data)
+        batch = stack_trajectories(trajs)
+    if model.localization_error is None:
+        # lockstep sampling (the E-step) needs a model-level noise; resolve
+        # the homogeneous per-trajectory metadata the same way the fit does
+        err = _resolve_err0(model, trajs, model.d)
+        m0 = model.models[0]
+        model = _rebuild_model(model, m0.D, m0.k, err)
     if key is None:
         key = jax.random.key(0)
 
+    if mode not in ("hard", "soft"):
+        raise ValueError(f"mode must be 'hard' or 'soft', got {mode!r}")
+    if init not in ("neutral", "model"):
+        raise ValueError(f"init must be 'neutral' or 'model', got {init!r}")
     sample_kwargs = dict(sample_kwargs or {})
     fit_kwargs = dict(fit_kwargs or {})
+    if mode == "soft":
+        sample_kwargs["ensemble"] = ensemble
+
+    pre_fit = None
+    if init == "neutral":
+        pre_fit = fit_rouse(model, batch,
+                            np.zeros((batch.B, batch.T), dtype=int),
+                            **fit_kwargs)
+        model = pre_fit.model
+
     fits, res, profiles = [], None, None
     for r in range(rounds):
         key, sub = jax.random.split(key)
         res = sample_batch(model, batch, key=sub, **sample_kwargs)
         profiles = np.asarray(res.best_profile())
-        fit = fit_rouse(model, batch, profiles, **fit_kwargs)
+        if mode == "soft":
+            profs, weights = res.profile_ensemble()
+            fit = fit_rouse(model, batch, profs, weights=weights,
+                            **fit_kwargs)
+        else:
+            fit = fit_rouse(model, batch, profiles, **fit_kwargs)
         fits.append(fit)
         model = fit.model
 
     return CalibrationResult(model=model, results=res, fits=fits,
-                             profiles=profiles)
+                             profiles=profiles, pre_fit=pre_fit)

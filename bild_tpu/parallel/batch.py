@@ -142,6 +142,13 @@ class BatchResults:
     # non-convergence (FixedkSampler.step); lockstep cannot, so the flag is
     # surfaced here instead of being silently dropped.
     mom_ok: Optional[np.ndarray] = None
+    # with sample_batch(..., ensemble=M): the M highest-posterior-weight
+    # ensemble samples per (k, trajectory) as discrete profiles plus their
+    # UNNORMALIZED log importance weights (logL - logdelta, the marginals-
+    # path convention). Duplicate profiles may appear; summing their weights
+    # is the correct aggregation.
+    top_profiles: Optional[np.ndarray] = None  # (K+1, B, M, T)
+    top_logw: Optional[np.ndarray] = None      # (K+1, B, M)
 
     def best_k(self, dE=None) -> np.ndarray:
         """(B,) smallest k within dE of each trajectory's max evidence."""
@@ -176,6 +183,31 @@ class BatchResults:
         bk = self.best_k(dE)
         return self.marginals[bk, np.arange(len(bk))]
 
+    def profile_ensemble(self, dE=None):
+        """
+        Truncated posterior over profiles at each trajectory's best k:
+        ``(B, M, T)`` int profiles and ``(B, M)`` weights, renormalized
+        within the retained top-M set (the standard truncated-importance-
+        sampling approximation). Requires ``sample_batch(..., ensemble=M)``.
+        A trajectory with NO finite-weight sample gets uniform weights over
+        its (meaningless) rows — its evidence is -inf across k, which is
+        the signal callers should check.
+        """
+        if self.top_profiles is None:
+            raise ValueError("run sample_batch(..., ensemble=M) first")
+        from scipy.special import logsumexp
+
+        bk = self.best_k(dE)
+        rows = np.arange(len(bk))
+        profs = self.top_profiles[bk, rows]
+        lw = self.top_logw[bk, rows]                        # (B, M)
+        norm = logsumexp(lw, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore"):
+            w = np.exp(lw - norm)
+        M = lw.shape[1]
+        w = np.where(np.isfinite(norm), w, 1.0 / M)
+        return profs, w
+
 
 # lockstep runners are cached by (logL_fn identity, shape config): with
 # padded-k parameter arrays, ONE compiled program serves every k <= k_max
@@ -187,7 +219,8 @@ _LOCKSTEP_RUNNERS_MAX = 32
 
 
 def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
-                         variant="per_k", mom_maxiter=1000, start=0):
+                         variant="per_k", mom_maxiter=1000, start=0,
+                         top_m=0):
     """
     Compiled lockstep program. Variants (same per-(trajectory, k) math):
 
@@ -206,7 +239,7 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
       informed injection fires at scout step 1 only).
     """
     cache_key = (logL_fn, T, n, N, S, steps, K1, marginals, variant,
-                 mom_maxiter, start)
+                 mom_maxiter, start, top_m)
     if cache_key in _LOCKSTEP_RUNNERS:
         # refresh recency: dict insertion order is the eviction order
         hit = _LOCKSTEP_RUNNERS.pop(cache_key)
@@ -243,7 +276,25 @@ def _get_lockstep_runner(logL_fn, T, n, N, S, steps, K1, marginals,
                 T=T, nStates=n, active=active)               # (n, T)
         else:
             logpost = jnp.zeros((0, 0), dtype=ev.dtype)
-        return ev, map_prof, logpost, state.mom_ok
+
+        if top_m:
+            # top-M posterior samples: SAME weight convention as the
+            # marginals path (log_w = logL - logdelta, NaN -> -inf); the
+            # shared normalization constant is dropped — consumers
+            # renormalize within the returned set
+            log_w = (state.logLs[:n_done]
+                     - state.logdeltas[:n_done]).reshape(-1)
+            log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
+            top_lw, idx = jax.lax.top_k(log_w, top_m)
+            ss_sel = state.ss[:n_done].reshape(-1, K1)[idx]
+            th_sel = state.thetas[:n_done].reshape(-1, K1)[idx]
+            top_profs = jax.vmap(
+                lambda s, t: st2profile(s, t, T, active=active))(ss_sel,
+                                                                 th_sel)
+        else:
+            top_profs = jnp.zeros((0, T), dtype=map_prof.dtype)
+            top_lw = jnp.zeros((0,), dtype=ev.dtype)
+        return ev, map_prof, logpost, state.mom_ok, top_profs, top_lw
 
     def run_one(per_traj, key, transitions, a0, logp0, a_inf, logp_inf,
                 use_informed, active, logprior, conc_brake_N, pol_brake_N):
@@ -372,9 +423,14 @@ def _trim_tail(batch: TrajectoryBatch, T_eff: int) -> TrajectoryBatch:
     return trimmed
 
 
-def _checkpoint_config(batch, k_max, steps_per_k, N, marginals, informed_init):
-    return np.array([batch.B, batch.T, k_max, steps_per_k, N,
-                     int(marginals), int(informed_init)])
+def _checkpoint_config(batch, k_max, steps_per_k, N, marginals, informed_init,
+                       ensemble=0):
+    cfg = [batch.B, batch.T, k_max, steps_per_k, N,
+           int(marginals), int(informed_init)]
+    if ensemble:
+        # appended only when set, so pre-ensemble checkpoints stay resumable
+        cfg.append(ensemble)
+    return np.array(cfg)
 
 
 def _per_k_params(cfc, k, K1, B, n, informed):
@@ -407,7 +463,8 @@ def sample_batch(model, batch: TrajectoryBatch,
                  checkpoint=None,
                  scout_steps=None,
                  refine_top=3,
-                 mom_maxiter=1000) -> BatchResults:
+                 mom_maxiter=1000,
+                 ensemble=0) -> BatchResults:
     """
     Lockstep inference over a trajectory batch.
 
@@ -454,6 +511,16 @@ def sample_batch(model, batch: TrajectoryBatch,
         ``CFC.MOM_maxiter``). Non-convergence cannot raise inside the jitted
         lockstep program; it is reported per (trajectory, k) in
         ``BatchResults.mom_ok`` instead.
+    ensemble : int
+        when > 0, additionally return the ``ensemble`` highest-weight
+        posterior samples per (trajectory, k) as discrete profiles with
+        their log importance weights (``BatchResults.top_profiles`` /
+        ``top_logw``; see `BatchResults.profile_ensemble`). This is the
+        E-step payload for posterior-weighted (soft-EM) parameter
+        calibration (`bild_tpu.fit.calibrate_rouse(mode='soft')`). Must not
+        exceed the smallest ensemble any lane accumulates:
+        ``scout_steps * N`` under the two-phase schedule (non-refined lanes
+        keep only their scout ensemble), else ``steps_per_k * N``.
 
     Notes
     -----
@@ -486,6 +553,11 @@ def sample_batch(model, batch: TrajectoryBatch,
                          f"{steps_per_k}], got {scout_steps}")
     if steps_per_k < 1:
         raise ValueError(f"steps_per_k must be >= 1, got {steps_per_k}")
+    min_ens = (scout_steps if scout_steps is not None else steps_per_k) * N
+    if not 0 <= ensemble <= min_ens:
+        raise ValueError(f"ensemble must be in [0, {min_ens}] (the smallest "
+                         f"per-lane ensemble under this schedule), got "
+                         f"{ensemble}")
 
     B_real = batch.B
     # trim the all-invalid tail of a padded bucket: frames past every
@@ -529,7 +601,9 @@ def sample_batch(model, batch: TrajectoryBatch,
         return (np.full((B, 3), [-np.inf, 1e-10, np.inf]),
                 np.zeros((B, T), dtype=int),
                 np.full((B, n, T), -np.inf),
-                np.ones(B, dtype=bool))
+                np.ones(B, dtype=bool),
+                np.zeros((B, ensemble, T), dtype=int),
+                np.full((B, ensemble), -np.inf))
 
     # np.array (not asarray): jax arrays view as read-only, refine writes.
     # Multi-process outputs are global (non-addressable) and go through the
@@ -550,7 +624,7 @@ def sample_batch(model, batch: TrajectoryBatch,
         runner = _get_lockstep_runner(
             logL_fn, T, n, N, steps_per_k, s1, K1, marginals,
             variant="fused" if scout_steps is None else "fused_scout",
-            mom_maxiter=mom_maxiter)
+            mom_maxiter=mom_maxiter, top_m=ensemble)
         ks = [k for k in range(k_max + 1) if k < T]
         params = [_per_k_params(cfc, k, K1, B, n, informed) for k in ks]
         stacks_np = [np.stack([p[i] for p in params]) for i in range(7)]
@@ -567,15 +641,17 @@ def sample_batch(model, batch: TrajectoryBatch,
         out = runner(
             per_traj, keys, transitions, *stacked[:6], stacked[6], cb, pb)
         if scout_steps is None:
-            ev_all, map_all, marg_all, mom_all = out
+            ev_all, map_all, marg_all, mom_all, top_all, tlw_all = out
             scout_state = keys_out = None
         else:
-            (ev_all, map_all, marg_all, mom_all,
+            (ev_all, map_all, marg_all, mom_all, top_all, tlw_all,
              scout_state, keys_out) = out
         ev_all, map_all = _fetch(ev_all), _fetch(map_all)
         mom_all = _fetch(mom_all)
         if marginals:
             marg_all = _fetch(marg_all)
+        if ensemble:
+            top_all, tlw_all = _fetch(top_all), _fetch(tlw_all)
 
         R = 0 if scout_steps is None else max(0, min(refine_top, len(ks)))
         if R > 0:
@@ -616,8 +692,9 @@ def sample_batch(model, batch: TrajectoryBatch,
                                             steps_per_k, K1, marginals,
                                             variant="resume",
                                             mom_maxiter=mom_maxiter,
-                                            start=scout_steps)
-            ev_r, map_r, marg_r, mom_r = runner_r(
+                                            start=scout_steps,
+                                            top_m=ensemble)
+            ev_r, map_r, marg_r, mom_r, top_r, tlw_r = runner_r(
                 sel_state, keys_sel, per_traj_R, transitions,
                 jnp.asarray(active_sel),
                 jnp.asarray(logprior_sel, dtype=dtype), cb, pb)
@@ -626,20 +703,28 @@ def sample_batch(model, batch: TrajectoryBatch,
             mom_r = _fetch(mom_r).reshape(R, B)
             if marginals:
                 marg_r = _fetch(marg_r).reshape(R, B, n, T)
+            if ensemble:
+                top_r = _fetch(top_r).reshape(R, B, ensemble, T)
+                tlw_r = _fetch(tlw_r).reshape(R, B, ensemble)
             for r in range(R):
                 ev_all[kb[r], np.arange(B)] = ev_r[r]
                 map_all[kb[r], np.arange(B)] = map_r[r]
                 mom_all[kb[r], np.arange(B)] = mom_r[r]
                 if marginals:
                     marg_all[kb[r], np.arange(B)] = marg_r[r]
-        evs, maps, margs, moms = [], [], [], []
+                if ensemble:
+                    top_all[kb[r], np.arange(B)] = top_r[r]
+                    tlw_all[kb[r], np.arange(B)] = tlw_r[r]
+        evs, maps, margs, moms, tops, toplws = [], [], [], [], [], []
         for k in range(k_max + 1):
             if k >= T:
-                ev_s, map_s, marg_s, mom_s = skipped_k()
+                ev_s, map_s, marg_s, mom_s, top_s, tlw_s = skipped_k()
                 evs.append(ev_s)
                 maps.append(map_s)
                 margs.append(marg_s)
                 moms.append(mom_s)
+                tops.append(top_s)
+                toplws.append(tlw_s)
             else:
                 i = ks.index(k)
                 evs.append(ev_all[i])
@@ -647,15 +732,19 @@ def sample_batch(model, batch: TrajectoryBatch,
                 moms.append(mom_all[i])
                 if marginals:
                     margs.append(marg_all[i])
+                if ensemble:
+                    tops.append(top_all[i])
+                    toplws.append(tlw_all[i])
     else:
         # -- per-k loop with checkpoint/resume --------------------------------
         runner = _get_lockstep_runner(logL_fn, T, n, N, steps_per_k,
                                       steps_per_k, K1, marginals,
-                                      mom_maxiter=mom_maxiter)
-        evs, maps, margs, moms = [], [], [], []
+                                      mom_maxiter=mom_maxiter,
+                                      top_m=ensemble)
+        evs, maps, margs, moms, tops, toplws = [], [], [], [], [], []
         start_k = 0
         config = _checkpoint_config(batch, k_max, steps_per_k, N,
-                                    marginals, informed_init)
+                                    marginals, informed_init, ensemble)
         import os
         if os.path.exists(checkpoint):
             ck = np.load(checkpoint)
@@ -672,6 +761,9 @@ def sample_batch(model, batch: TrajectoryBatch,
                 moms = [np.ones(B, dtype=bool) for _ in range(start_k)]
             if marginals:
                 margs = [ck["margs"][i] for i in range(start_k)]
+            if ensemble:
+                tops = [ck["tops"][i] for i in range(start_k)]
+                toplws = [ck["toplws"][i] for i in range(start_k)]
             key = jax.random.wrap_key_data(ck["key_data"])
 
         def save_checkpoint(next_k):
@@ -686,17 +778,21 @@ def sample_batch(model, batch: TrajectoryBatch,
                      evs=np.stack(evs), maps=np.stack(maps),
                      moms=np.stack(moms),
                      margs=np.stack(margs) if marginals else np.zeros(0),
+                     tops=np.stack(tops) if ensemble else np.zeros(0),
+                     toplws=np.stack(toplws) if ensemble else np.zeros(0),
                      key_data=np.asarray(jax.random.key_data(key)))
             os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz",
                        checkpoint)
 
         for k in range(start_k, k_max + 1):
             if k >= T:
-                ev_s, map_s, marg_s, mom_s = skipped_k()
+                ev_s, map_s, marg_s, mom_s, top_s, tlw_s = skipped_k()
                 evs.append(ev_s)
                 maps.append(map_s)
                 margs.append(marg_s)
                 moms.append(mom_s)
+                tops.append(top_s)
+                toplws.append(tlw_s)
                 continue
 
             p = _per_k_params(cfc, k, K1, B, n, informed)
@@ -708,15 +804,19 @@ def sample_batch(model, batch: TrajectoryBatch,
 
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, B)
-            ev_k, map_k, marg_k, mom_k = runner(per_traj, keys, transitions,
-                                                a0, logp0, a_inf, logp_inf,
-                                                use_inf, active, logprior,
-                                                cb, pb)
+            (ev_k, map_k, marg_k, mom_k,
+             top_k, tlw_k) = runner(per_traj, keys, transitions,
+                                    a0, logp0, a_inf, logp_inf,
+                                    use_inf, active, logprior,
+                                    cb, pb)
             evs.append(_fetch(ev_k))
             maps.append(_fetch(map_k))
             moms.append(_fetch(mom_k))
             if marginals:
                 margs.append(_fetch(marg_k))
+            if ensemble:
+                tops.append(_fetch(top_k))
+                toplws.append(_fetch(tlw_k))
             save_checkpoint(k + 1)
 
     evs = np.stack(evs, axis=1)          # (B, K+1, 3)
@@ -733,6 +833,8 @@ def sample_batch(model, batch: TrajectoryBatch,
 
     map_profiles = np.stack(maps, axis=0)[:, :B_real]
     margs_out = np.stack(margs, axis=0)[:, :B_real] if marginals else None
+    tops_out = np.stack(tops, axis=0)[:, :B_real] if ensemble else None
+    toplw_out = np.stack(toplws, axis=0)[:, :B_real] if ensemble else None
     if map_profiles.shape[-1] < T_in:
         # restore the input length: trailing all-invalid frames carry the
         # edge state (profiles span missing frames) and uniform marginals
@@ -744,6 +846,9 @@ def sample_batch(model, batch: TrajectoryBatch,
                 [margs_out,
                  np.full(margs_out.shape[:3] + (pad,), -math.log(n))],
                 axis=-1)
+        if tops_out is not None:
+            tops_out = np.pad(tops_out, [(0, 0), (0, 0), (0, 0), (0, pad)],
+                              mode="edge")
 
     return BatchResults(
         k=np.arange(k_max + 1),
@@ -753,4 +858,6 @@ def sample_batch(model, batch: TrajectoryBatch,
         dE=dE,
         marginals=margs_out,
         mom_ok=mom_ok[:B_real],
+        top_profiles=tops_out,
+        top_logw=toplw_out,
     )

@@ -191,3 +191,117 @@ def test_ragged_profiles_from_dataset_interface():
 
     with pytest.raises(ValueError, match="profiles for"):
         make_rouse_nll(model, trajs, profs[:2])
+
+
+def test_heterogeneous_localization_error_raises():
+    """Per-trajectory metadata with DIFFERENT errors must raise, not be
+    silently collapsed to trajectory 0's value."""
+    from bild_tpu.trajectory import make_trajectory
+
+    model = MultiStateRouse(5, 1.0, 5.0, d=1)      # no model-level error
+    rng = np.random.default_rng(0)
+    t1 = make_trajectory(rng.normal(size=(10, 1)), localization_error=0.1)
+    t2 = make_trajectory(rng.normal(size=(10, 1)), localization_error=0.2)
+    with pytest.raises(ValueError, match="heterogeneous"):
+        make_rouse_nll(model, [t1, t2], np.zeros((2, 10), int))
+    # homogeneous metadata is fine
+    t3 = make_trajectory(rng.normal(size=(10, 1)), localization_error=0.1)
+    nll, p0 = make_rouse_nll(model, [t1, t3], np.zeros((2, 10), int))
+    assert np.isfinite(float(nll(p0)))
+
+
+def test_short_profile_raises():
+    """A ragged profile shorter than its trajectory must raise instead of
+    silently scoring the tail as state 0."""
+    model = _model(N=5)
+    profs = [np.zeros(20, dtype=int), np.zeros(16, dtype=int)]
+    trajs = [model.trajectory_from_loopingprofile(p, key=jax.random.key(i))
+             for i, p in enumerate(profs)]
+    bad = [profs[0], profs[1][:9]]                  # second one truncated
+    with pytest.raises(ValueError, match="profile 1 has 9 frames"):
+        make_rouse_nll(model, trajs, bad)
+
+
+def test_calibrate_metadata_only_error():
+    """calibrate_rouse with NO model-level localization error: homogeneous
+    per-trajectory metadata must be resolved into the sampling model
+    (lockstep mode needs it) and survive into the calibrated model."""
+    from bild_tpu.fit import calibrate_rouse
+    from bild_tpu.trajectory import make_trajectory
+
+    gen = _model(N=5, D=1.0, k=5.0, err=0.1, d=1)
+    prof = np.zeros(30, dtype=int)
+    prof[10:20] = 1
+    trajs = [make_trajectory(
+        np.asarray(gen.trajectory_from_loopingprofile(
+            prof, key=jax.random.key(i)).data, dtype=float),
+        localization_error=0.1) for i in range(3)]
+
+    start = MultiStateRouse(5, 1.2, 4.0, d=1)       # no error set
+    cal = calibrate_rouse(
+        start, trajs, rounds=1,
+        sample_kwargs=dict(k_max=2, steps_per_k=4, N=32),
+        fit_kwargs=dict(steps=30, fit_localization=False),
+        key=jax.random.key(2))
+    np.testing.assert_allclose(
+        np.asarray(cal.model.localization_error, dtype=float), 0.1)
+    assert np.isfinite(cal.fits[0].nll_trace).all()
+
+
+def test_weighted_nll_one_hot_equals_hard():
+    """The posterior-weighted objective with one-hot weights must equal the
+    plain (hard) objective on the selected profiles — value AND gradient."""
+    model = _model(N=5, d=2)
+    rng = np.random.default_rng(1)
+    B, T, M = 3, 25, 4
+    profiles = np.zeros((B, T), dtype=int)
+    profiles[:, 8:15] = 1
+    batch = model.trajectories_from_loopingprofiles(profiles,
+                                                    key=jax.random.key(5))
+    nll_hard, p0 = make_rouse_nll(model, batch, profiles)
+
+    prof_sets = rng.integers(0, 2, size=(B, M, T)).astype(np.int32)
+    prof_sets[:, 0] = profiles                       # slot 0 = the profile
+    w = np.zeros((B, M))
+    w[:, 0] = 1.0
+    nll_soft, _ = make_rouse_nll(model, batch, prof_sets, weights=w)
+
+    v_h, g_h = jax.value_and_grad(nll_hard)(p0)
+    v_s, g_s = jax.value_and_grad(nll_soft)(p0)
+    np.testing.assert_allclose(float(v_s), float(v_h), rtol=1e-12)
+    for name in p0:
+        np.testing.assert_allclose(np.asarray(g_s[name]),
+                                   np.asarray(g_h[name]), rtol=1e-10)
+
+    # shape mismatch is rejected
+    with pytest.raises(ValueError, match="weighted profiles"):
+        make_rouse_nll(model, batch, prof_sets[:, :, :10], weights=w)
+
+
+def test_calibrate_soft_mode_and_init():
+    """Soft mode runs end-to-end (posterior-weighted M-step); init
+    validation; init='model' skips the neutral pre-fit."""
+    from bild_tpu.fit import calibrate_rouse
+
+    model = _model(N=5, D=1.0, k=5.0, err=0.1, d=1)
+    prof = np.zeros(30, dtype=int)
+    prof[10:20] = 1
+    batch = model.trajectories_from_loopingprofiles(
+        np.tile(prof, (3, 1)), key=jax.random.key(4))
+    start = _model(N=5, D=1.2, k=4.0, err=0.1, d=1)
+    kw = dict(rounds=1,
+              sample_kwargs=dict(k_max=2, steps_per_k=4, N=32),
+              fit_kwargs=dict(steps=30, fit_localization=False),
+              key=jax.random.key(2))
+    cal = calibrate_rouse(start, batch, mode="soft", ensemble=8, **kw)
+    assert np.isfinite(cal.fits[0].nll_trace).all()
+    assert cal.pre_fit is not None                   # neutral default
+    assert cal.results.top_profiles is not None      # E-step kept ensemble
+
+    cal_m = calibrate_rouse(start, batch, init="model", **kw)
+    assert cal_m.pre_fit is None
+
+    with pytest.raises(ValueError, match="init"):
+        calibrate_rouse(start, batch, init="warm", **kw)
+    with pytest.raises(ValueError, match="mode"):
+        calibrate_rouse(start, batch, mode="em", **kw)

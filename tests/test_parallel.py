@@ -201,3 +201,63 @@ def test_sample_batch_k_exceeding_T_is_skipped():
     # k = 4, 5 >= T = 4: impossible switch counts are -inf, never the best
     assert np.all(np.isneginf(res.evidence[:, 4:]))
     assert np.all(res.best_k() < 4)
+
+
+def test_sample_batch_ensemble():
+    """ensemble=M returns the M highest-weight posterior samples per
+    (trajectory, k): shapes, descending weights, normalization in
+    `profile_ensemble`, bit-identity of all other outputs with an
+    ensemble=0 run, and equality across the fused / scouted / per-k
+    checkpoint paths."""
+    import os
+    import tempfile
+
+    from bild_tpu.parallel import sample_batch, stack_trajectories
+
+    model = MultiStateRouse(5, 1.0, 5.0, d=1, localization_error=0.1)
+    prof = np.zeros(30, dtype=int)
+    prof[10:20] = 1
+    trajs = [model.trajectory_from_loopingprofile(prof, key=jax.random.key(i))
+             for i in range(3)]
+    batch = stack_trajectories(trajs)
+
+    res = sample_batch(model, batch, k_max=3, steps_per_k=5, N=32,
+                       key=jax.random.key(0), ensemble=8)
+    assert res.top_profiles.shape == (4, 3, 8, 30)
+    assert res.top_logw.shape == (4, 3, 8)
+    assert (np.diff(res.top_logw, axis=-1) <= 1e-12).all()   # sorted desc
+    profs, w = res.profile_ensemble()
+    assert profs.shape == (3, 8, 30) and w.shape == (3, 8)
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, rtol=1e-12)
+
+    # requesting the ensemble must not perturb anything else
+    res0 = sample_batch(model, batch, k_max=3, steps_per_k=5, N=32,
+                        key=jax.random.key(0))
+    np.testing.assert_array_equal(res.evidence, res0.evidence)
+    np.testing.assert_array_equal(res.map_profiles, res0.map_profiles)
+    assert res0.top_profiles is None
+    with pytest.raises(ValueError, match="ensemble"):
+        res0.profile_ensemble()
+
+    # scout/refine path carries the ensemble too
+    res_s = sample_batch(model, batch, k_max=3, steps_per_k=5, N=32,
+                         scout_steps=2, refine_top=2,
+                         key=jax.random.key(0), ensemble=8)
+    _, w2 = res_s.profile_ensemble()
+    np.testing.assert_allclose(w2.sum(axis=1), 1.0, rtol=1e-12)
+
+    # per-k checkpoint path: identical tops to the fused path, and a
+    # resumed rerun reproduces them bit-for-bit
+    with tempfile.TemporaryDirectory() as tdir:
+        ck = os.path.join(tdir, "ck.npz")
+        r1 = sample_batch(model, batch, k_max=3, steps_per_k=5, N=32,
+                          key=jax.random.key(0), ensemble=8, checkpoint=ck)
+        r2 = sample_batch(model, batch, k_max=3, steps_per_k=5, N=32,
+                          key=jax.random.key(0), ensemble=8, checkpoint=ck)
+        np.testing.assert_array_equal(r1.top_profiles, res.top_profiles)
+        np.testing.assert_array_equal(r2.top_profiles, r1.top_profiles)
+        np.testing.assert_array_equal(r2.top_logw, r1.top_logw)
+
+    # cap: a lane only ever accumulates steps_per_k * N samples
+    with pytest.raises(ValueError, match="ensemble"):
+        sample_batch(model, batch, k_max=2, steps_per_k=2, N=8, ensemble=17)
