@@ -61,7 +61,9 @@ from .physics.rouse import _build_laplacian, _FREE_MODE_TOL
 from .trajectory import Trajectory
 
 __all__ = ["fit_rouse", "FitResult", "make_rouse_nll", "calibrate_rouse",
-           "CalibrationResult"]
+           "CalibrationResult", "fit_ggm", "make_ggm_nll", "GGMFitResult",
+           "MSDFamily", "POWERLAW", "TWO_LOCUS_ROUSE", "calibrate_ggm",
+           "GGMCalibrationResult"]
 
 
 def _spectral_consts(model):
@@ -306,6 +308,36 @@ def _build_nll(model, data, profiles, fit_localization, weights=None):
     return nll, params0, err0
 
 
+def _run_adam(nll, params0, steps, learning_rate, optimizer=None):
+    """Shared optimizer loop: the whole optax run inside ONE jitted
+    `lax.scan` (single device dispatch regardless of ``steps``). Returns
+    host ``(params, nll_trace, grad_norm)``; ``nll_trace[i]`` is the
+    objective BEFORE step i, with the post-fit value appended."""
+    import optax
+
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+
+    @jax.jit
+    def run(params):
+        state = opt.init(params)
+
+        def step(carry, _):
+            params, state = carry
+            val, grads = jax.value_and_grad(nll)(params)
+            updates, state = opt.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, state), val
+
+        (params, _), vals = jax.lax.scan(step, (params, state), None,
+                                         length=steps)
+        gnorm = optax.global_norm(jax.grad(nll)(params))
+        return params, jnp.concatenate([vals, nll(params)[None]]), gnorm
+
+    params, trace, gnorm = run(params0)
+    return (jax.device_get(params), np.asarray(trace, dtype=float),
+            float(gnorm))
+
+
 def _rebuild_model(model, D, k, err):
     """`MultiStateRouse` clone with new ``(D, k, localization_error)``,
     preserving loop structure, measurement, dt, and transition-matrix
@@ -357,32 +389,10 @@ def fit_rouse(model, data, profiles, *, fit_localization=True,
     for the posterior-expected (soft-EM) objective — and the module
     docstring for scope (the reference has no analog of this function).
     """
-    import optax
-
     nll, params0, err0 = _build_nll(model, data, profiles, fit_localization,
                                     weights)
-    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
-
-    @jax.jit
-    def run(params):
-        state = opt.init(params)
-
-        def step(carry, _):
-            params, state = carry
-            val, grads = jax.value_and_grad(nll)(params)
-            updates, state = opt.update(grads, state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, state), val
-
-        (params, _), vals = jax.lax.scan(step, (params, state), None,
-                                         length=steps)
-        # vals[i] = objective BEFORE step i; append the post-fit value
-        gnorm = optax.global_norm(jax.grad(nll)(params))
-        return params, jnp.concatenate([vals, nll(params)[None]]), gnorm
-
-    params, trace, gnorm = run(params0)
-    params = jax.device_get(params)
-    trace = np.asarray(trace, dtype=float)
+    params, trace, gnorm = _run_adam(nll, params0, steps, learning_rate,
+                                     optimizer)
 
     D = float(np.exp(params["log_D"]))
     k = float(np.exp(params["log_k"]))
@@ -548,3 +558,10 @@ def calibrate_rouse(model, data, *, rounds: int = 2,
 
     return CalibrationResult(model=model, results=res, fits=fits,
                              profiles=profiles, pre_fit=pre_fit)
+
+
+# GGM MSD-parameter calibration lives in its own module; re-exported here so
+# `bild_tpu.fit` is the single calibration namespace
+from .fit_ggm import (fit_ggm, make_ggm_nll, GGMFitResult,  # noqa: E402
+                      MSDFamily, POWERLAW, TWO_LOCUS_ROUSE,
+                      calibrate_ggm, GGMCalibrationResult)

@@ -59,6 +59,21 @@ def main():
           f"{len(trajs)} trajectories, best_k histogram "
           f"{np.bincount(ds.best_k(), minlength=5).tolist()}")
 
+    # MSD-parameter calibration through the differentiable likelihood —
+    # the reference needs an external bayesmsd fit here, which cannot
+    # condition on the looping profile (see fit_ggm's docstring)
+    from bild_tpu.fit import fit_ggm
+
+    spec = [  # start ~40% off the truth
+        [("twoLocusRouse", dict(G=1.4, J=3.5), 0.1, 0)],
+        [("twoLocusRouse", dict(G=0.13, J=1.5), 0.1, 0)],
+    ]
+    fit = fit_ggm(spec, trajs, np.stack(ds.best_profile()),
+                  steps=50 if smoke else 300)
+    print("fitted MSD parameters (true: G=1/J=5, G=0.2/J=1):",
+          [{k: round(v, 3) for k, v in p.items()}
+           for p in fit.parameters])
+
 
 if __name__ == "__main__":
     main()
