@@ -415,9 +415,11 @@ class CalibrationResult:
     """Outcome of `calibrate_rouse`: the final calibrated model, the last
     inference results, and the per-round fit history."""
     model: object                         # calibrated MultiStateRouse
-    results: object                       # BatchResults of the final round
+    results: object     # final round's BatchResults / DatasetResults
     fits: list                            # FitResult per round
-    profiles: np.ndarray                  # (B, T) final MAP profiles
+    # final MAP profiles: (B, T) array (engine="batch") or ragged list of
+    # (T_i,) arrays (engine="dataset")
+    profiles: object
     # round-0 neutral (constant-profile) fit when init="neutral"; its nll is
     # NOT comparable to fits[i].nll_trace (different conditioning profiles)
     pre_fit: object = None
@@ -437,7 +439,7 @@ class CalibrationResult:
 
 def calibrate_rouse(model, data, *, rounds: int = 2,
                     mode: str = "hard", ensemble: int = 16,
-                    init: str = "neutral",
+                    init: str = "neutral", engine: str = "batch",
                     sample_kwargs: dict | None = None,
                     fit_kwargs: dict | None = None,
                     key=None) -> CalibrationResult:
@@ -498,6 +500,14 @@ def calibrate_rouse(model, data, *, rounds: int = 2,
         the per-lane ensemble size, see `parallel.sample_batch`)
     init : "neutral" (default — round-0 constant-profile fit, see above)
         or "model" (start at the passed model's parameters)
+    engine : "batch" (default) runs the E-step as one lockstep
+        `parallel.sample_batch` over the stacked batch — right for up to
+        a few hundred similar-length trajectories. "dataset" runs it
+        through `parallel.sample_dataset` instead (length bucketing,
+        fixed-size chunks, optional per-chunk checkpointing, mesh
+        sharding via its ``sample_kwargs``) — the 10k-scale path for
+        ragged datasets; requires ``mode="hard"`` (DatasetResults does
+        not carry profile ensembles) and a Trajectory sequence.
     sample_kwargs / fit_kwargs : forwarded to `parallel.sample_batch` /
         `fit_rouse`
     key : PRNG key for the inference passes (split per round)
@@ -506,17 +516,34 @@ def calibrate_rouse(model, data, *, rounds: int = 2,
     -------
     CalibrationResult
     """
-    from .parallel import sample_batch, stack_trajectories
+    from .parallel import sample_batch, sample_dataset, stack_trajectories
+
+    if mode not in ("hard", "soft"):
+        raise ValueError(f"mode must be 'hard' or 'soft', got {mode!r}")
+    if init not in ("neutral", "model"):
+        raise ValueError(f"init must be 'neutral' or 'model', got {init!r}")
+    if engine not in ("batch", "dataset"):
+        raise ValueError(f"engine must be 'batch' or 'dataset', got "
+                         f"{engine!r}")
+    if engine == "dataset" and mode == "soft":
+        raise ValueError("engine='dataset' supports mode='hard' only "
+                         "(DatasetResults carries no profile ensembles)")
 
     if isinstance(data, Trajectory):
         trajs = [data]
-        batch = stack_trajectories(trajs)
     elif hasattr(data, "data") and hasattr(data, "valid"):  # TrajectoryBatch
+        if engine == "dataset":
+            raise ValueError("engine='dataset' needs a Trajectory "
+                             "sequence (it buckets ragged lengths itself)")
         trajs = None
-        batch = data
     else:
         trajs = list(data)
-        batch = stack_trajectories(trajs)
+    if engine == "batch":
+        batch = data if trajs is None else stack_trajectories(trajs)
+        fit_data = batch
+    else:
+        batch = None
+        fit_data = trajs
     if model.localization_error is None:
         # lockstep sampling (the E-step) needs a model-level noise; resolve
         # the homogeneous per-trajectory metadata the same way the fit does
@@ -526,10 +553,6 @@ def calibrate_rouse(model, data, *, rounds: int = 2,
     if key is None:
         key = jax.random.key(0)
 
-    if mode not in ("hard", "soft"):
-        raise ValueError(f"mode must be 'hard' or 'soft', got {mode!r}")
-    if init not in ("neutral", "model"):
-        raise ValueError(f"init must be 'neutral' or 'model', got {init!r}")
     sample_kwargs = dict(sample_kwargs or {})
     fit_kwargs = dict(fit_kwargs or {})
     if mode == "soft":
@@ -537,22 +560,29 @@ def calibrate_rouse(model, data, *, rounds: int = 2,
 
     pre_fit = None
     if init == "neutral":
-        pre_fit = fit_rouse(model, batch,
-                            np.zeros((batch.B, batch.T), dtype=int),
-                            **fit_kwargs)
+        if engine == "batch":
+            neutral = np.zeros((batch.B, batch.T), dtype=int)
+        else:
+            neutral = [np.zeros(len(t), dtype=int) for t in trajs]
+        pre_fit = fit_rouse(model, fit_data, neutral, **fit_kwargs)
         model = pre_fit.model
 
     fits, res, profiles = [], None, None
     for r in range(rounds):
         key, sub = jax.random.split(key)
-        res = sample_batch(model, batch, key=sub, **sample_kwargs)
-        profiles = np.asarray(res.best_profile())
-        if mode == "soft":
-            profs, weights = res.profile_ensemble()
-            fit = fit_rouse(model, batch, profs, weights=weights,
-                            **fit_kwargs)
+        if engine == "dataset":
+            res = sample_dataset(model, trajs, key=sub, **sample_kwargs)
+            profiles = res.best_profile()            # ragged list
+            fit = fit_rouse(model, fit_data, profiles, **fit_kwargs)
         else:
-            fit = fit_rouse(model, batch, profiles, **fit_kwargs)
+            res = sample_batch(model, batch, key=sub, **sample_kwargs)
+            profiles = np.asarray(res.best_profile())
+            if mode == "soft":
+                profs, weights = res.profile_ensemble()
+                fit = fit_rouse(model, fit_data, profs, weights=weights,
+                                **fit_kwargs)
+            else:
+                fit = fit_rouse(model, fit_data, profiles, **fit_kwargs)
         fits.append(fit)
         model = fit.model
 

@@ -139,6 +139,13 @@ def sample_dataset(model, trajs: Sequence,
     readable by every process. Divergent datasets/configurations across
     processes are detected at entry and raise.
     """
+    if "ensemble" in sample_kw:
+        # per-(trajectory, k) ensembles are a sample_batch-level payload;
+        # silently dropping them here would waste the extra compute
+        raise ValueError(
+            "ensemble= is not carried through DatasetResults — run "
+            "parallel.sample_batch(..., ensemble=M) directly (e.g. via "
+            "fit.calibrate_rouse) for posterior profile ensembles")
     multiproc = False
     if mesh is not None:
         from .mesh import broadcast_from_process0, is_multiprocess
@@ -151,10 +158,16 @@ def sample_dataset(model, trajs: Sequence,
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
 
-    config_str = repr(("v1", k_max, steps_per_k, N, scout_steps, refine_top,
-                       informed_init, marginals, chunk_size,
-                       bool(optimize_boundaries), float(dE),
-                       np.asarray(jax.random.key_data(key)).tolist()))
+    # extra sample_batch kwargs (e.g. mom_maxiter) change results, so they
+    # must key the chunk checkpoints too (appended only when present, so
+    # checkpoints of plain runs stay valid across versions)
+    config = ("v1", k_max, steps_per_k, N, scout_steps, refine_top,
+              informed_init, marginals, chunk_size,
+              bool(optimize_boundaries), float(dE),
+              np.asarray(jax.random.key_data(key)).tolist())
+    if sample_kw:
+        config += (sorted(sample_kw.items()),)
+    config_str = repr(config)
 
     if multiproc:
         # SPMD guard: every process must be walking the identical dataset +

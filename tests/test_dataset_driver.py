@@ -100,3 +100,22 @@ def test_sample_dataset_optimize_boundaries():
     # optimized profiles keep the boundary count of the MAP profiles
     for p, bp in zip(res.optimized, res.best_profile()):
         assert np.sum(p[1:] != p[:-1]) == np.sum(bp[1:] != bp[:-1])
+
+
+def test_sample_kw_keys_checkpoints_and_ensemble_rejected(tmp_path):
+    """Extra sample_batch kwargs must key the chunk checkpoints (a rerun
+    with e.g. a different mom_maxiter would otherwise silently load stale
+    results), and ensemble= is rejected rather than silently dropped."""
+    model, trajs, _, _ = _ragged_set()
+    ckdir = str(tmp_path / "ck")
+    kw = dict(k_max=2, steps_per_k=3, N=16, informed_init=False,
+              key=jax.random.key(0), checkpoint_dir=ckdir)
+    sample_dataset(model, trajs, **kw)
+    files1 = set(os.listdir(ckdir))
+    sample_dataset(model, trajs, mom_maxiter=7, **kw)
+    files2 = set(os.listdir(ckdir))
+    # the kwarg-carrying run wrote NEW chunk files (different tags)
+    assert files2 > files1
+
+    with pytest.raises(ValueError, match="ensemble"):
+        sample_dataset(model, trajs, ensemble=4, **kw)

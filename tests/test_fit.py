@@ -305,3 +305,43 @@ def test_calibrate_soft_mode_and_init():
         calibrate_rouse(start, batch, init="warm", **kw)
     with pytest.raises(ValueError, match="mode"):
         calibrate_rouse(start, batch, mode="em", **kw)
+
+
+def test_calibrate_dataset_engine():
+    """engine='dataset': the E-step runs through sample_dataset (ragged
+    bucketing + chunking), the ragged MAP profiles feed the fit, and
+    parameters move toward truth. Soft mode / TrajectoryBatch input are
+    rejected for this engine."""
+    from bild_tpu.fit import calibrate_rouse
+    from bild_tpu.parallel import stack_trajectories
+
+    D_true, k_true = 1.0, 5.0
+    model = _model(N=5, D=D_true, k=k_true, err=0.1, d=1)
+    rng = np.random.default_rng(2)
+    trajs = []
+    for i, T in enumerate([24, 40, 24, 33]):      # two length buckets
+        prof = np.zeros(T, dtype=int)
+        t0 = rng.integers(0, T // 2)
+        prof[t0:t0 + rng.integers(8, T // 2)] = 1
+        trajs.append(model.trajectory_from_loopingprofile(
+            prof, key=jax.random.key(60 + i)))
+
+    start = _model(N=5, D=1.3 * D_true, k=0.75 * k_true, err=0.1, d=1)
+    cal = calibrate_rouse(
+        start, trajs, rounds=1, engine="dataset",
+        sample_kwargs=dict(k_max=2, steps_per_k=4, N=32,
+                           bucket_edges=(24, 48), informed_init=False),
+        fit_kwargs=dict(steps=60, fit_localization=False),
+        key=jax.random.key(3))
+    assert abs(np.log(cal.D / D_true)) < abs(np.log(1.3))
+    assert abs(np.log(cal.k / k_true)) < abs(np.log(0.75))
+    # ragged outputs keep true lengths
+    assert [len(p) for p in cal.profiles] == [24, 40, 24, 33]
+    assert np.isfinite(cal.fits[0].nll_trace).all()
+
+    with pytest.raises(ValueError, match="hard"):
+        calibrate_rouse(start, trajs, engine="dataset", mode="soft")
+    with pytest.raises(ValueError, match="Trajectory"):
+        calibrate_rouse(start, stack_trajectories(trajs), engine="dataset")
+    with pytest.raises(ValueError, match="engine"):
+        calibrate_rouse(start, trajs, engine="chunked")
