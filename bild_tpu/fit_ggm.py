@@ -327,12 +327,11 @@ def make_ggm_nll(spec, data, profiles, fit_noise=False):
     if len(means[0]) != d:
         raise ValueError(f"spec is for d={len(means[0])}, data has d={d}")
 
-    profiles = np.asarray(profiles, dtype=np.int32)
-    if profiles.ndim == 1:
-        profiles = np.broadcast_to(profiles, (B, T))
-    if profiles.shape != (B, T):
-        raise ValueError(f"profiles must be (T,) or (B={B}, T={T}); got "
-                         f"{profiles.shape}")
+    # shares fit_rouse's coercion: (T,)/(B,T) broadcast, ragged lists (e.g.
+    # sample_dataset(...).best_profile()) padded to T with state 0 on
+    # invalid frames only (local import — fit.py imports this module)
+    from .fit import _coerce_profiles
+    profiles = np.asarray(_coerce_profiles(profiles, B, T, valid))
     if profiles.max() >= len(units):
         raise ValueError(f"profile state {profiles.max()} out of range for "
                          f"{len(units)} states")
@@ -476,19 +475,21 @@ def _spec_with_parameters(spec, parameters):
 
 @dataclasses.dataclass
 class GGMCalibrationResult:
-    """Outcome of `calibrate_ggm`: final model, last inference results,
-    per-round fit history, final MAP profiles."""
+    """Outcome of `calibrate_ggm`: final model, last inference results
+    (BatchResults / DatasetResults), per-round fit history, final MAP
+    profiles ((B, T) array for engine="batch", ragged list for
+    engine="dataset")."""
     model: object
     results: object
     fits: list
-    profiles: np.ndarray
+    profiles: object
 
     @property
     def parameters(self):
         return self.fits[-1].parameters
 
 
-def calibrate_ggm(spec, data, *, rounds: int = 2,
+def calibrate_ggm(spec, data, *, rounds: int = 2, engine: str = "batch",
                   sample_kwargs: dict | None = None,
                   fit_kwargs: dict | None = None,
                   model_kwargs: dict | None = None,
@@ -507,15 +508,29 @@ def calibrate_ggm(spec, data, *, rounds: int = 2,
     style full-trajectory fit, or separate fits on hand-labeled segments).
 
     No reference analog (the reference's GGM takes frozen MSDs).
-    """
-    from .parallel import sample_batch, stack_trajectories
 
+    ``engine="dataset"`` runs the E-step through `parallel.sample_dataset`
+    instead of one lockstep `parallel.sample_batch` (ragged length
+    bucketing, fixed-size chunks, per-chunk checkpointing, mesh sharding
+    via its ``sample_kwargs``) — the 10k-scale path; requires a Trajectory
+    sequence. Mirrors `fit.calibrate_rouse(engine="dataset")`.
+    """
+    from .parallel import sample_batch, sample_dataset, stack_trajectories
+
+    if engine not in ("batch", "dataset"):
+        raise ValueError(f"engine must be 'batch' or 'dataset', got "
+                         f"{engine!r}")
     if isinstance(data, Trajectory):
-        batch = stack_trajectories([data])
-    elif hasattr(data, "data") and hasattr(data, "valid"):
-        batch = data
+        data = [data]
+    if hasattr(data, "data") and hasattr(data, "valid"):
+        if engine == "dataset":
+            raise ValueError("engine='dataset' needs a Trajectory "
+                             "sequence (it buckets ragged lengths itself)")
+        trajs, batch = None, data
     else:
-        batch = stack_trajectories(list(data))
+        trajs = list(data)
+        batch = None if engine == "dataset" else stack_trajectories(trajs)
+    fit_data = trajs if engine == "dataset" else batch
     if key is None:
         key = jax.random.key(0)
 
@@ -533,9 +548,13 @@ def calibrate_ggm(spec, data, *, rounds: int = 2,
     cur_spec = spec
     for r in range(rounds):
         key, sub = jax.random.split(key)
-        res = sample_batch(model, batch, key=sub, **sample_kwargs)
-        profiles = np.asarray(res.best_profile())
-        fit = fit_ggm(cur_spec, batch, profiles,
+        if engine == "dataset":
+            res = sample_dataset(model, trajs, key=sub, **sample_kwargs)
+            profiles = res.best_profile()            # ragged list
+        else:
+            res = sample_batch(model, batch, key=sub, **sample_kwargs)
+            profiles = np.asarray(res.best_profile())
+        fit = fit_ggm(cur_spec, fit_data, profiles,
                       model_kwargs=model_kwargs, **fit_kwargs)
         fits.append(fit)
         model = fit.model

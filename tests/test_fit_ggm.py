@@ -169,6 +169,95 @@ def test_spec_validation():
                      prof + 1)
 
 
+def test_ragged_profile_lists():
+    """make_ggm_nll accepts ragged per-trajectory profile lists (the
+    sample_dataset(...).best_profile() payload) and scores them exactly
+    like the equivalently padded (B, T) array."""
+    model = GGM([
+        [(GGM.MSD_function_twoLocusRouse(G=1.0, J=5.0, noise2=0.02),
+          0.0, 0)],
+        [(GGM.MSD_function_powerlaw(G=0.5, a=0.7, noise2=0.02), 0.0, 1)],
+    ])
+    spec = [
+        [("twoLocusRouse", dict(G=1.0, J=5.0, noise2=0.02), 0.0, 0)],
+        [("powerlaw", dict(G=0.5, a=0.7, noise2=0.02), 0.0, 1)],
+    ]
+    lens = [20, 32, 26]
+    rng = np.random.default_rng(5)
+    ragged, trajs = [], []
+    for b, T in enumerate(lens):
+        p = np.zeros(T, dtype=int)
+        t0 = rng.integers(0, T // 2)
+        p[t0:t0 + rng.integers(5, T // 2)] = 1
+        ragged.append(p)
+        trajs.append(model.trajectory_from_loopingprofile(
+            p, rng=np.random.default_rng(b)))
+    Tmax = max(lens)
+    padded = np.zeros((len(lens), Tmax), dtype=int)
+    for b, p in enumerate(ragged):
+        padded[b, : len(p)] = p
+
+    nll_r, p0 = make_ggm_nll(spec, trajs, ragged)
+    nll_p, _ = make_ggm_nll(spec, trajs, padded)
+    assert float(nll_r(p0)) == float(nll_p(p0))
+
+    with pytest.raises(ValueError, match="frames"):
+        make_ggm_nll(spec, trajs, [p[:-2] for p in ragged])
+
+
+@pytest.mark.slow
+def test_calibrate_ggm_dataset_engine():
+    """engine='dataset': the GGM E-step runs through sample_dataset
+    (ragged bucketing + chunking) and per-state parameters move toward
+    truth; a TrajectoryBatch input is rejected for this engine."""
+    from bild_tpu.fit import calibrate_ggm
+    from bild_tpu.parallel import stack_trajectories
+
+    true0, true1 = dict(G=1.0, J=5.0), dict(G=0.2, J=1.0)
+    model = GGM([
+        [(GGM.MSD_function_twoLocusRouse(**true0, noise2=0.01), 0.0, 0)],
+        [(GGM.MSD_function_twoLocusRouse(**true1, noise2=0.01), 0.0, 0)],
+    ])
+    rng = np.random.default_rng(0)
+    lens = [40, 56, 40, 48, 56, 44]
+    trajs, profs = [], []
+    for b, T in enumerate(lens):
+        p = np.zeros(T, dtype=int)
+        t0 = rng.integers(0, T // 3)
+        p[t0:t0 + rng.integers(T // 3, 2 * T // 3)] = 1
+        profs.append(p)
+        trajs.append(model.trajectory_from_loopingprofile(
+            p, rng=np.random.default_rng(b)))
+
+    spec = [
+        [("twoLocusRouse", dict(G=1.3, J=3.8, noise2=0.01), 0.0, 0)],
+        [("twoLocusRouse", dict(G=0.15, J=1.4, noise2=0.01), 0.0, 0)],
+    ]
+    cal = calibrate_ggm(
+        spec, trajs, rounds=1, engine="dataset",
+        sample_kwargs=dict(k_max=3, steps_per_k=6, N=64,
+                           bucket_edges=(40, 56), informed_init=False),
+        fit_kwargs=dict(steps=200, learning_rate=0.05),
+        key=jax.random.key(1))
+    assert [len(p) for p in cal.profiles] == lens
+    acc = float(np.mean(np.concatenate(
+        [np.asarray(p) == t for p, t in zip(cal.profiles, profs)])))
+    assert acc > 0.75
+    # identifiability ceiling at this data size: the fit at the TRUE
+    # profiles lands at (G 0.80, J 4.35 / G 0.19, J 0.53) — the calibrated
+    # run (G 0.85, J 3.82 / G 0.15, J 1.04) sits at the same level, so
+    # assert a ceiling-honest factor of truth rather than tight recovery
+    for s, tru in enumerate((true0, true1)):
+        for k, v in tru.items():
+            assert abs(np.log(cal.parameters[s][k] / v)) < np.log(1.6), \
+                (s, k, cal.parameters[s][k], v)
+
+    with pytest.raises(ValueError, match="Trajectory"):
+        calibrate_ggm(spec, stack_trajectories(trajs), engine="dataset")
+    with pytest.raises(ValueError, match="engine"):
+        calibrate_ggm(spec, trajs, engine="chunked")
+
+
 @pytest.mark.slow
 def test_calibrate_ggm_alternation():
     """EM alternation recovers per-state MSD parameters, and the
