@@ -35,6 +35,36 @@ class MultiStateModel(metaclass=abc.ABCMeta):
     def init_transitions(self, n: int):
         self.transitions = ~np.eye(n, dtype=bool)
 
+    def _fingerprint_parts(self):
+        """Subclass hook for `likelihood_fingerprint`: a list of
+        array-likes that together determine the model's likelihood (and
+        segmentation scores). ``None`` (the default) means "cannot
+        fingerprint"."""
+        return None
+
+    def likelihood_fingerprint(self):
+        """Stable hex digest of everything that determines this model's
+        likelihood values, or ``None`` if the model cannot provide one.
+
+        `parallel.sample_dataset` keys its chunk checkpoints on this, so a
+        rerun with a re-parametrized model (e.g. after a
+        `fit.calibrate_rouse` round) recomputes instead of silently
+        loading stale results. Custom subclasses get checkpoint keying on
+        data/configuration only unless they override
+        `_fingerprint_parts`."""
+        parts = self._fingerprint_parts()
+        if parts is None:
+            return None
+        import hashlib
+        h = hashlib.sha256()
+        h.update(type(self).__name__.encode())
+        h.update(np.ascontiguousarray(self.transitions).tobytes())
+        for p in parts:
+            a = np.ascontiguousarray(np.asarray(p, dtype=np.float64))
+            h.update(repr(a.shape).encode())
+            h.update(a.tobytes())
+        return h.hexdigest()
+
     @property
     def nStates(self) -> int:
         return self.transitions.shape[0]

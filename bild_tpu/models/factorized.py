@@ -46,6 +46,16 @@ class FactorizedModel(MultiStateModel):
     def d(self):
         return self._d
 
+    def _fingerprint_parts(self):
+        # distributions are arbitrary host callables; their logpdf sampled
+        # on a fixed wide grid is the likelihood-relevant content
+        probe = np.geomspace(1e-6, 1e6, 256)
+        with np.errstate(divide="ignore", invalid="ignore",
+                         under="ignore", over="ignore"):
+            vals = [np.asarray(dist.logpdf(probe), dtype=float)
+                    for dist in self.distributions]
+        return [[self._d], *vals]
+
     # -- memoized logL table ----------------------------------------------
     def _memo(self, traj: Trajectory):
         if traj not in self._known_trajs:

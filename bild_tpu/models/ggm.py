@@ -365,6 +365,23 @@ class GenericGaussianModel(MultiStateModel):
     def d(self):
         return self.state_spec.shape[1]
 
+    def _fingerprint_parts(self):
+        # per-(state, dim) MSD sampled on integer lags (what the interval
+        # tables consume) + a deep-lag plateau probe, plus the means,
+        # ss_orders, and band configuration
+        dts = np.arange(1, 513, dtype=float)
+        parts = []
+        for s in range(self.state_spec.shape[0]):
+            for dim in range(self.state_spec.shape[1]):
+                msd_fun, mean, sso = self.state_spec[s, dim]
+                parts.append(np.asarray(msd_fun(dts), dtype=float))
+                parts.append([float(mean), float(sso),
+                              float(msd_fun(1e9))])
+        band = (-2.0 if self.T_band == "auto"
+                else -1.0 if self.T_band is None else float(self.T_band))
+        parts.append([band, self.band_tol])
+        return parts
+
     def initial_loopingprofile(self, traj):
         """Per-frame argmax of the single-frame interval scores (the
         ``[t, t+1)`` diagonal of the interval table, i.e. each frame's

@@ -161,6 +161,16 @@ class MultiStateRouse(MultiStateModel):
     def d(self):
         return self._d
 
+    def _fingerprint_parts(self):
+        # the per-state dynamics (B, G, Sig, steady state) + measurement
+        # vector + model noise fully determine the Kalman likelihood;
+        # localization_error=None (per-trajectory noise) is a distinct
+        # configuration, encoded by a sentinel
+        err = (np.asarray([-1.0]) if self.localization_error is None
+               else np.asarray(self.localization_error, dtype=float))
+        return [[self._d], err, self.w, self.Bs, self.Gs, self.Sigs,
+                self.M0s, self.C0s]
+
     # -- noise handling (reference ``bild/models.py:255-263``) -------------
     def _get_noise(self, traj) -> np.ndarray:
         if self.localization_error is not None:

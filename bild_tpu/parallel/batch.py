@@ -17,6 +17,7 @@ no per-trajectory active learning — every k in ``0..k_max`` gets
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import math
 from typing import Optional, Sequence
 
@@ -424,13 +425,29 @@ def _trim_tail(batch: TrajectoryBatch, T_eff: int) -> TrajectoryBatch:
 
 
 def _checkpoint_config(batch, k_max, steps_per_k, N, marginals, informed_init,
-                       ensemble=0):
+                       ensemble=0, mom_maxiter=1000):
     cfg = [batch.B, batch.T, k_max, steps_per_k, N,
            int(marginals), int(informed_init)]
     if ensemble:
         # appended only when set, so pre-ensemble checkpoints stay resumable
         cfg.append(ensemble)
+    if mom_maxiter != 1000:
+        cfg.append(mom_maxiter)
     return np.array(cfg)
+
+
+def _checkpoint_tag(model, batch, entry_key_data):
+    """Content hash of (data, entry key, model fingerprint): shape/schedule
+    equality (`_checkpoint_config`) is not enough — resuming a checkpoint
+    against different data, a different PRNG stream, or a re-parametrized
+    model would silently mix results from two different runs."""
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(np.asarray(batch.data)).tobytes())
+    h.update(np.ascontiguousarray(entry_key_data).tobytes())
+    fp = getattr(model, "likelihood_fingerprint", lambda: None)()
+    if fp is not None:
+        h.update(fp.encode())
+    return h.hexdigest()
 
 
 def _per_k_params(cfc, k, K1, B, n, informed):
@@ -489,7 +506,9 @@ def sample_batch(model, batch: TrajectoryBatch,
         per-k checkpoint/resume: after each k the partial results and PRNG
         state are written (atomically) to this ``.npz`` path; a rerun with
         the same configuration resumes at the first incomplete k. A
-        checkpoint from a different configuration raises.
+        checkpoint from a different configuration raises, as does one
+        written against different data, a different PRNG key, or a
+        re-parametrized model (content tag mismatch).
     scout_steps : optional int
         two-phase budget schedule: every k first gets only ``scout_steps``
         AMIS steps (the scout), then each trajectory's ``refine_top``
@@ -744,7 +763,10 @@ def sample_batch(model, batch: TrajectoryBatch,
         evs, maps, margs, moms, tops, toplws = [], [], [], [], [], []
         start_k = 0
         config = _checkpoint_config(batch, k_max, steps_per_k, N,
-                                    marginals, informed_init, ensemble)
+                                    marginals, informed_init, ensemble,
+                                    mom_maxiter)
+        tag = _checkpoint_tag(model, batch,
+                              np.asarray(jax.random.key_data(key)))
         import os
         if os.path.exists(checkpoint):
             ck = np.load(checkpoint)
@@ -752,6 +774,12 @@ def sample_batch(model, batch: TrajectoryBatch,
                 raise ValueError(
                     f"checkpoint {checkpoint} was written by a different "
                     f"sample_batch configuration: {ck['config']} vs {config}")
+            if "tag" in ck.files and str(ck["tag"]) != tag:
+                raise ValueError(
+                    f"checkpoint {checkpoint} was written against different "
+                    "data, PRNG key, or model parameters (content tag "
+                    "mismatch) — resuming would mix results from two "
+                    "different runs")
             start_k = int(ck["next_k"])
             evs = [ck["evs"][i] for i in range(start_k)]
             maps = [ck["maps"][i] for i in range(start_k)]
@@ -774,7 +802,7 @@ def sample_batch(model, batch: TrajectoryBatch,
             if multiproc and jax.process_index() != 0:
                 return
             tmp = f"{checkpoint}.tmp"
-            np.savez(tmp, config=config, next_k=next_k,
+            np.savez(tmp, config=config, tag=tag, next_k=next_k,
                      evs=np.stack(evs), maps=np.stack(maps),
                      moms=np.stack(moms),
                      margs=np.stack(margs) if marginals else np.zeros(0),

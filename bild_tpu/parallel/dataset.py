@@ -115,8 +115,11 @@ def sample_dataset(model, trajs: Sequence,
         directory for per-chunk result files. A rerun with the same
         trajectories and configuration loads completed chunks from disk
         instead of recomputing — chunk-granular resume for long runs. Files
-        are keyed by a content hash of (chunk data, configuration), so a
-        changed configuration recomputes rather than mixing results.
+        are keyed by a content hash of (chunk data, configuration, model
+        fingerprint — `models.base.MultiStateModel.likelihood_fingerprint`),
+        so a changed configuration or re-parametrized model recomputes
+        rather than mixing results. Custom models without a fingerprint
+        key on data/configuration only.
     show_progress : bool
         tqdm over chunks.
     optimize_boundaries : bool
@@ -167,6 +170,13 @@ def sample_dataset(model, trajs: Sequence,
               np.asarray(jax.random.key_data(key)).tolist())
     if sample_kw:
         config += (sorted(sample_kw.items()),)
+    # a re-parametrized model (e.g. after a calibration round) must not
+    # load chunks computed at the old parameters; models that cannot
+    # fingerprint (custom subclasses, fingerprint None) key on
+    # data/configuration only, as before
+    fingerprint = getattr(model, "likelihood_fingerprint", lambda: None)()
+    if fingerprint is not None:
+        config += (fingerprint,)
     config_str = repr(config)
 
     if multiproc:

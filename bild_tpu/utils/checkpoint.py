@@ -36,6 +36,15 @@ def save_results(path, results: SamplingResults):
     """Serialize a `SamplingResults` to ``path`` (.npz)."""
     arrays = {}
     meta = {"dE": results.dE, "samplers": [], "log_keys": list(results.log.keys())}
+    # models are not serialized (arbitrary host callables), but their
+    # likelihood fingerprint is — load_results can then reject a model
+    # that does not match the save-time one instead of silently resuming
+    # with different parameters
+    mdl = results.samplers[0].model if results.samplers else None
+    fp = (getattr(mdl, "likelihood_fingerprint", lambda: None)()
+          if mdl is not None else None)
+    if fp is not None:
+        meta["model_fingerprint"] = fp
 
     traj = results.traj
     arrays["traj_data"] = np.asarray(traj.data)
@@ -72,10 +81,21 @@ def save_results(path, results: SamplingResults):
 
 def load_results(path, model) -> SamplingResults:
     """Restore a `SamplingResults`; ``model`` must match the one used at
-    save time (same ``nStates``/``transitions``)."""
+    save time — enforced via `likelihood_fingerprint` when both sides
+    provide one (custom models without a fingerprint are only checked for
+    ``nStates`` consistency)."""
     with np.load(path, allow_pickle=False) as zf:
         arrays = {k: zf[k] for k in zf.files}
     meta = json.loads(bytes(arrays.pop("__meta__")).decode("utf-8"))
+
+    fp_saved = meta.get("model_fingerprint")
+    if fp_saved is not None:
+        fp_now = getattr(model, "likelihood_fingerprint", lambda: None)()
+        if fp_now is not None and fp_now != fp_saved:
+            raise ValueError(
+                f"{path}: model does not match the one used at save time "
+                "(likelihood fingerprint mismatch) — resuming these "
+                "samplers with different parameters would mix results")
 
     traj = Trajectory(
         data=jnp.asarray(arrays["traj_data"], dtype=fdtype()),

@@ -38,6 +38,13 @@ def test_roundtrip(tmp_path):
     else:
         raise AssertionError("expected at least one non-exhausted sampler")
 
+    # loading with a re-parametrized model is rejected (fingerprint),
+    # not silently resumed at the wrong parameters
+    other = FactorizedModel([sp_stats.maxwell(scale=0.2),
+                             sp_stats.maxwell(scale=1)])
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_results(path, other)
+
 
 def test_strict_numerics_context():
     import jax

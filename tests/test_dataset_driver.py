@@ -117,5 +117,13 @@ def test_sample_kw_keys_checkpoints_and_ensemble_rejected(tmp_path):
     # the kwarg-carrying run wrote NEW chunk files (different tags)
     assert files2 > files1
 
+    # a re-parametrized model must also key new chunk files (its
+    # likelihood_fingerprint enters the config hash) — same data/key
+    other = FactorizedModel([sp_stats.maxwell(scale=0.15),
+                             sp_stats.maxwell(scale=1)], d=1)
+    sample_dataset(other, trajs, **kw)
+    files3 = set(os.listdir(ckdir))
+    assert files3 > files2
+
     with pytest.raises(ValueError, match="ensemble"):
         sample_dataset(model, trajs, ensemble=4, **kw)

@@ -137,6 +137,29 @@ class TestCheckpointResume:
             sample_batch(model, batch, k_max=3, steps_per_k=4, N=16,
                          key=jax.random.key(0), checkpoint=path)
 
+    def test_content_tag_mismatch_raises(self, rng, tmp_path):
+        """Same shapes/schedule but different data, PRNG key, or model
+        parameters must be rejected — resuming would silently mix results
+        from two different runs."""
+        trajs = _trajs(rng, [8] * 2)
+        batch = stack_trajectories(trajs)
+        path = str(tmp_path / "ck.npz")
+        kw = dict(k_max=2, steps_per_k=4, N=16, checkpoint=path)
+        sample_batch(_model(), batch, key=jax.random.key(0), **kw)
+
+        with pytest.raises(ValueError, match="tag"):
+            sample_batch(_model(), batch, key=jax.random.key(1), **kw)
+        other = FactorizedModel([sp_stats.maxwell(scale=0.2),
+                                 sp_stats.maxwell(scale=1.0)])
+        with pytest.raises(ValueError, match="tag"):
+            sample_batch(other, batch, key=jax.random.key(0), **kw)
+        batch2 = stack_trajectories(_trajs(rng, [8] * 2))  # fresh draws
+        with pytest.raises(ValueError, match="tag"):
+            sample_batch(_model(), batch2, key=jax.random.key(0), **kw)
+        # identical everything still resumes cleanly (no-op: complete)
+        res = sample_batch(_model(), batch, key=jax.random.key(0), **kw)
+        assert np.all(np.isfinite(res.evidence))
+
 
 class TestVectorizedInformedInit:
     def test_informed_matches_feasibility_and_runs(self, rng):

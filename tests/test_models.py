@@ -149,3 +149,62 @@ def test_batched_generation_matches_single_statistics(rng):
     looped = mags[::2, 12:20].mean()
     free = mags[1::2, 12:20].mean()
     assert looped < free
+
+
+class TestLikelihoodFingerprint:
+    """`likelihood_fingerprint` keys checkpoint reuse: equal for equal
+    likelihoods, different when any likelihood-relevant knob changes."""
+
+    def test_rouse(self):
+        a = MultiStateRouse(10, 1.0, 5.0, d=2, localization_error=0.1)
+        b = MultiStateRouse(10, 1.0, 5.0, d=2, localization_error=0.1)
+        assert a.likelihood_fingerprint() == b.likelihood_fingerprint()
+        for other in (MultiStateRouse(10, 1.1, 5.0, d=2,
+                                      localization_error=0.1),
+                      MultiStateRouse(10, 1.0, 4.0, d=2,
+                                      localization_error=0.1),
+                      MultiStateRouse(10, 1.0, 5.0, d=2,
+                                      localization_error=0.2),
+                      MultiStateRouse(10, 1.0, 5.0, d=2),  # per-traj noise
+                      MultiStateRouse(12, 1.0, 5.0, d=2,
+                                      localization_error=0.1)):
+            assert a.likelihood_fingerprint() != \
+                other.likelihood_fingerprint()
+        # transition restrictions feed segmentation/DP init
+        c = MultiStateRouse(10, 1.0, 5.0, d=2, localization_error=0.1)
+        c.transitions = c.transitions.copy()
+        c.transitions[0, 1] = False
+        assert a.likelihood_fingerprint() != c.likelihood_fingerprint()
+
+    def test_factorized(self):
+        mk = lambda s: FactorizedModel([scipy.stats.maxwell(scale=s),
+                                        scipy.stats.maxwell(scale=1.0)])
+        assert mk(0.1).likelihood_fingerprint() == \
+            mk(0.1).likelihood_fingerprint()
+        assert mk(0.1).likelihood_fingerprint() != \
+            mk(0.2).likelihood_fingerprint()
+
+    def test_ggm(self):
+        GGM = GenericGaussianModel
+        mk = lambda G, **kw: GGM([
+            [(GGM.MSD_function_twoLocusRouse(G=G, J=5.0, noise2=0.01),
+              0.0, 0)],
+            [(GGM.MSD_function_twoLocusRouse(G=0.2, J=1.0, noise2=0.01),
+              0.0, 0)],
+        ], **kw)
+        assert mk(1.0).likelihood_fingerprint() == \
+            mk(1.0).likelihood_fingerprint()
+        assert mk(1.0).likelihood_fingerprint() != \
+            mk(1.2).likelihood_fingerprint()
+        assert mk(1.0).likelihood_fingerprint() != \
+            mk(1.0, T_band=32).likelihood_fingerprint()
+
+    def test_custom_model_has_none(self):
+        class Custom(bild.models.MultiStateModel):
+            def __init__(self):
+                self.init_transitions(2)
+
+            def logL(self, profile, traj):
+                return 0.0
+
+        assert Custom().likelihood_fingerprint() is None
