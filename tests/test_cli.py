@@ -163,3 +163,23 @@ def test_cli_fit_params(tiny_csv, tmp_path):
     assert D > 0 and k > 0
     assert (D, k) != (1.0, 5.0)
     assert res["best_k"].shape == (4,)
+
+
+@pytest.mark.slow
+def test_cli_verbose_output(tiny_csv, tmp_path, capsys):
+    """Without --quiet the CLI narrates every stage: dataset summary,
+    calibration, per-state dwell statistics (both the with-CI and the
+    no-fully-observed branches), switch-count histogram, output path."""
+    out = str(tmp_path / "res_verbose.npz")
+    rc = main([tiny_csv, "--out", out, *CLI_FAST[:-1],  # drop --quiet
+               "--dwell-times", "--fit-params", "1", "--fit-subset", "4"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "4 trajectories, d=1" in text
+    assert "calibrated on 4 trajectories" in text
+    # state 1 has the interior (fully-observed) dwell -> exponential CI;
+    # state 0 only touches the window ends -> censored-only message
+    assert "state 1" in text and "95% CI" in text
+    assert "state 0: no fully-observed dwell intervals" in text
+    assert "switch-count histogram:" in text
+    assert f"wrote {out}" in text

@@ -318,3 +318,98 @@ class TestDatasetResultsEdges:
         from bild_tpu.parallel import sample_dataset
         with pytest.raises(ValueError, match="ensemble"):
             sample_dataset(_model(), [_traj(6)], ensemble=4)
+
+
+# -- FixedkSampler API views and secondary paths ------------------------------
+
+class _TinySegModel(_TinyModel):
+    """Custom model with a frame-factorized score table but NO traceable
+    lockstep likelihood: informed init must flow through the stepwise
+    fallback's deferred proposal injection."""
+
+    def _segment_table(self, traj):
+        T = len(traj)
+        tab = np.zeros((2, T))
+        tab[1, T // 2:] = 1.0
+        return tab
+
+
+class TestSamplerViews:
+    def _sampler(self, k=1, k_pad=None, **kw):
+        from bild_tpu.amis.sampler import FixedkSampler
+        kw.setdefault("N", 16)
+        kw.setdefault("max_fev", 200)
+        kw.setdefault("max_fcomplete", 0)
+        return FixedkSampler(_traj(10, seed=3), _model(), k, k_pad=k_pad,
+                             key=jax.random.key(3), **kw)
+
+    def test_steps_zero_and_views(self):
+        s = self._sampler()
+        assert s.steps(0) == 0
+        assert s.steps(2) == 2
+        assert s.n_steps_host == 2
+        samples = s.samples
+        assert len(samples) == 2
+        assert samples[0]["ss"].shape == (16, s.K1)
+        assert samples[0]["log_weights"].shape == (16,)
+        params = s.parameters
+        assert len(params) == 3          # initial + one per step
+        assert params[0][0].shape == (s.K1,)
+
+    def test_steps_after_exhaustion(self):
+        s = self._sampler(max_fev=48)    # S = ceil(48/16)-1 = 2 steps max
+        assert s.steps(10) == 2
+        assert s.exhausted
+        assert s.steps(1) == 0           # no-op once exhausted
+
+    def test_exhaustive_samples_view(self):
+        s = self._sampler(max_fcomplete=50)   # k=1, T=10, n=2: 18 profiles
+        assert s._exhaustive is not None
+        (sample,) = s.samples
+        assert sample["logLs"].shape == sample["thetas"].shape[:1]
+
+    def test_log_proposal_exact_padded_and_invalid(self):
+        s = self._sampler(k=1, k_pad=3)       # K1 = 4 > k+1 = 2
+        a, logp = s.parameters[0]
+        ss_exact = np.array([[0.3, 0.7]])
+        th = np.zeros((1, 2), dtype=int)
+        out_exact = s.log_proposal((a[:2], logp[:, :2]), ss_exact, th)
+        ss_padded = np.array([[0.3, 0.7, 0.0, 0.0]])
+        th_padded = np.zeros((1, 4), dtype=int)
+        out_padded = s.log_proposal((a, logp), ss_padded, th_padded)
+        assert np.isfinite(out_exact).all() and np.isfinite(out_padded).all()
+        with pytest.raises(ValueError, match="slots"):
+            s.log_proposal((a, logp), np.ones((1, 3)) / 3,
+                           np.zeros((1, 3), dtype=int))
+
+    def test_amis_propose_unpadded(self):
+        from bild_tpu.amis.sampler import amis_propose
+        import jax.numpy as jnp
+        s = self._sampler()
+        ss, thetas, profiles = amis_propose(
+            s.state, jax.random.key(7), s._transitions, N=8, T=s.T)
+        assert ss.shape == (8, s.K1) and profiles.shape == (8, s.T)
+        np.testing.assert_allclose(np.asarray(ss.sum(-1)), 1.0, rtol=1e-6)
+
+    def test_fused_steps_cache_hit(self):
+        from bild_tpu.amis.sampler import _make_fused_steps
+
+        def fake_logL(profiles, per_traj):
+            import jax.numpy as jnp
+            return -jnp.sum(profiles.astype(float), axis=-1)
+
+        first = _make_fused_steps(fake_logL, 8, 10)
+        assert _make_fused_steps(fake_logL, 8, 10) is first
+
+    def test_stepwise_informed_injection(self):
+        from bild_tpu.amis.sampler import FixedkSampler
+        model = _TinySegModel()
+        traj = _traj(10, seed=5)
+        s = FixedkSampler(traj, model, 1, N=8, max_fev=100, max_fcomplete=0,
+                          informed_init=True, key=jax.random.key(9))
+        assert s._fused is None and s._informed is not None
+        a_inf = np.asarray(s._informed[0])
+        assert s.step()
+        # the informed proposal was injected as the SECOND mixture component
+        np.testing.assert_allclose(np.asarray(s.state.a_params[1]), a_inf)
+        assert s.step()
