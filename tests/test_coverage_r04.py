@@ -413,3 +413,236 @@ class TestSamplerViews:
         # the informed proposal was injected as the SECOND mixture component
         np.testing.assert_allclose(np.asarray(s.state.a_params[1]), a_inf)
         assert s.step()
+
+
+# -- DP segmentation edges -----------------------------------------------------
+
+class TestSegmentEdges:
+    def test_batch_st_requires_exact_k(self):
+        from bild_tpu.infer.segment import profiles_to_st_batch
+        with pytest.raises(AssertionError, match="exactly k"):
+            profiles_to_st_batch(np.array([[0, 1, 0]]), k=1)  # 2 switches
+
+    def test_unreachable_state_column(self):
+        from bild_tpu.infer.segment import dp_segment_all
+        # state 0 has no allowed predecessor: only 0->1 switches exist
+        trans = np.array([[False, True], [False, False]])
+        table = np.array([[1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0]])
+        profiles, scores = dp_segment_all(table, 2, transitions=trans)
+        np.testing.assert_array_equal(profiles[1], [0, 0, 1, 1])
+        assert profiles[2] is None          # a second switch is impossible
+        assert scores[2] == -np.inf
+
+    def test_infeasible_k_exceeds_frames(self):
+        from bild_tpu.infer.segment import dp_segment, dp_segment_all_batch
+        table = np.ones((2, 3))
+        prof, score = dp_segment(table, k=5)
+        assert prof is None and score == -np.inf
+        profiles, feasible = dp_segment_all_batch(np.ones((2, 2, 3)), k_max=5)
+        assert profiles.shape == (6, 2, 3)
+        assert feasible[:3].all() and not feasible[3:].any()
+
+    def test_segment_guess_none_when_infeasible(self):
+        m = _TinySegModel()
+        assert m.segment_guess(_traj(4), k=10) is None  # k >= T
+        assert m.lockstep_segment_tables(None) is None  # base default
+
+
+# -- native loader build path --------------------------------------------------
+
+def test_native_build_compiles(tmp_path, monkeypatch):
+    from bild_tpu import native
+    monkeypatch.setattr(native, "_SO", str(tmp_path / "_loader_test.so"))
+    assert native._build()
+    assert (tmp_path / "_loader_test.so").exists()
+
+
+# -- MoM divergence surfacing (fused path) -------------------------------------
+
+def test_fused_mom_divergence_truncates_and_raises():
+    """When the CFC method-of-marginals diverges mid-run, evidences from the
+    failing step onward are dropped (the reference raises inside the failing
+    step, before logging its evidence) and the failure surfaces as a
+    RuntimeError. The device run is faked: forcing a genuine divergence needs
+    pathological data; the host-side failure protocol is what's pinned here."""
+    import dataclasses
+    import jax.numpy as jnp
+    from bild_tpu.amis.sampler import FixedkSampler
+
+    s = FixedkSampler(_traj(10, seed=3), _model(), 1, N=16, max_fev=200,
+                      max_fcomplete=0, key=jax.random.key(3))
+
+    def fake_fused(state, key, transitions, logprior, cb, pb, active,
+                   per_traj, a_inf, logp_inf, use_inf, n_run):
+        ev = jnp.arange(3.0 * n_run)
+        mom_rows = jnp.concatenate(
+            [jnp.ones(n_run - 1), jnp.zeros(1)])     # diverged at last step
+        packed = jnp.concatenate(
+            [ev, mom_rows, jnp.asarray([0.0, float(n_run)])])
+        state = dataclasses.replace(
+            state, n_steps=jnp.asarray(n_run, jnp.int32))
+        return state, key, packed
+
+    s._fused = fake_fused
+    with pytest.raises(RuntimeError, match="did not converge"):
+        s.steps(2)
+    assert len(s.evidences) == 1          # only pre-divergence evidence kept
+
+
+# -- fit.py edges ---------------------------------------------------------------
+
+class TestFitEdges:
+    def _rouse(self, err=0.1):
+        from bild_tpu.models import MultiStateRouse
+        return MultiStateRouse(5, 1.0, 3.0, d=1, localization_error=err)
+
+    def test_profile_coercion_forms_and_converged(self):
+        from bild_tpu.fit import fit_rouse
+        model = self._rouse()
+        traj = model.trajectory_from_loopingprofile(
+            np.zeros(12, dtype=int), key=jax.random.key(0))
+        prof = np.zeros(12, dtype=int)
+        # a single 1-d profile broadcasts over the singleton batch
+        fit = fit_rouse(model, traj, prof, steps=3, fit_localization=False)
+        # a LIST of per-trajectory 1-d profiles is coerced the same way
+        fit2 = fit_rouse(model, [traj], [prof], steps=3,
+                         fit_localization=False)
+        np.testing.assert_allclose(fit.nll_trace, fit2.nll_trace)
+        assert isinstance(fit.converged, bool)
+
+    def test_fit_localization_mode_validation(self):
+        from bild_tpu.fit import fit_rouse
+        model = self._rouse()
+        traj = model.trajectory_from_loopingprofile(
+            np.zeros(10, dtype=int), key=jax.random.key(1))
+        with pytest.raises(ValueError, match="fit_localization"):
+            fit_rouse(model, traj, np.zeros(10, dtype=int),
+                      fit_localization="banana", steps=2)
+
+    def test_resolve_err0_requires_model_error_for_batch(self):
+        from bild_tpu.fit import _resolve_err0
+        with pytest.raises(ValueError, match="localization_error"):
+            _resolve_err0(self._rouse(err=None), None, 1)
+
+    def test_calibrate_single_trajectory_default_key(self):
+        from bild_tpu.fit import calibrate_rouse
+        model = self._rouse()
+        prof = np.zeros(16, dtype=int)
+        prof[6:11] = 1
+        traj = model.trajectory_from_loopingprofile(prof,
+                                                    key=jax.random.key(2))
+        cal = calibrate_rouse(
+            model, traj, rounds=1,
+            sample_kwargs=dict(k_max=2, steps_per_k=2, N=16),
+            fit_kwargs=dict(steps=5, fit_localization=False))
+        assert cal.D > 0 and cal.k > 0
+        np.testing.assert_allclose(cal.localization_error, [0.1])
+
+
+# -- mop-up: small-file residual branches --------------------------------------
+
+class TestSmallResiduals:
+    def test_csv_non_numeric_and_empty_value_rows(self, tmp_path):
+        from bild_tpu.io import load_trajectories_csv_python
+        p = tmp_path / "messy.csv"
+        p.write_text("0,0,1.0\n0,1\n0,2,abc\n0,3,4.0\n")
+        (t,) = load_trajectories_csv_python(p)
+        # row with no values skipped (frame 1 missing), non-numeric -> NaN
+        assert len(t) == 4
+        np.testing.assert_array_equal(np.asarray(t.valid),
+                                      [True, False, False, True])
+
+    def test_loopingprofile_eq_and_array(self):
+        prof = Loopingprofile(np.array([0, 1, 1]))
+        assert prof != Loopingprofile(np.array([0, 1]))   # length mismatch
+        assert prof != object()                           # not coercible
+        assert np.asarray(prof, dtype=float).dtype == np.float64
+
+    def test_choicesampler_default_rng(self):
+        from bild_tpu.infer.choice import ChoiceSampler
+        cs = ChoiceSampler(np.array([-1.0, -2.0]), np.array([0.1, 0.2]),
+                           n_steps=np.array([2.0, 2.0]), margin=0.0)
+        assert set(np.unique(cs.evaluate())) <= {0, 1}
+
+    def test_idtype_tracks_x64(self):
+        from bild_tpu.config import idtype
+        assert idtype() == np.int64      # conftest enables x64
+
+    def test_gp_validation(self):
+        from bild_tpu.physics.gp import imaging, msd2C
+        with pytest.raises(ValueError, match="exposure fraction"):
+            imaging(f=1.5)
+        with pytest.raises(ValueError, match="ss_order"):
+            msd2C(lambda t: t, np.arange(3.0), ss_order=2)
+
+    def test_rouse_bond_edge_cases(self):
+        from bild_tpu.physics.rouse import RouseModel
+        # None entries and vacuous (l == r) bonds are skipped; 2-tuples get
+        # default strength — all equivalent to the plain backbone chain here
+        m_plain = RouseModel(5, 1.0, 2.0, d=1, dt=1.0)
+        m_edges = RouseModel(5, 1.0, 2.0, d=1, dt=1.0,
+                             add_bonds=[None, (0, 0), (2, 2, 1.0)])
+        np.testing.assert_allclose(np.asarray(m_edges.B),
+                                   np.asarray(m_plain.B))
+        assert m_plain.check_dynamics()
+        dyn = m_plain._dynamics
+        np.testing.assert_allclose(np.asarray(dyn["B"]),
+                                   np.asarray(m_plain.B))
+
+    def test_kalman_single_wrapper(self):
+        from bild_tpu.ops.kalman import msrouse_logL_batch, msrouse_logL_single
+        import jax.numpy as jnp
+        model = MultiStateRouse_small()
+        traj = Trajectory.create(np.array([1.0, 2.0, 1.5, 0.5]))
+        s2, Cind = model._noise_arrays(traj)
+        args = (model.Bs, model.Gs, model.Sigs, model.M0s, model.C0s,
+                model.w, s2, Cind)
+        prof = jnp.zeros(4, dtype=jnp.int32)
+        single = msrouse_logL_single(*args, prof, traj.data, traj.valid)
+        batch = msrouse_logL_batch(*args, prof[None], traj.data, traj.valid)
+        np.testing.assert_allclose(np.asarray(single), np.asarray(batch[0]))
+
+    def test_sqrt_operator_cache_hit(self):
+        from bild_tpu.ops import kalman_sqrt as ks
+        from bild_tpu.config import fdtype
+        model = MultiStateRouse_small()
+        first = ks._sqrt_operators(model.Sigs, model.C0s, fdtype())
+        n_cached = len(ks._SQRT_OPS_CACHE)
+        again = ks._sqrt_operators(model.Sigs, model.C0s, fdtype())
+        assert len(ks._SQRT_OPS_CACHE) == n_cached   # hit, not a new entry
+        np.testing.assert_array_equal(np.asarray(first[0]),
+                                      np.asarray(again[0]))
+
+    def test_dataset_progress_bar(self):
+        from bild_tpu.parallel import sample_dataset
+        res = sample_dataset(_model(), [_traj(8, seed=1), _traj(8, seed=2)],
+                             k_max=1, steps_per_k=2, N=16,
+                             show_progress=True, key=jax.random.key(4))
+        assert res.evidence.shape == (2, 2)
+
+    def test_exhaustive_checkpoint_roundtrip(self, tmp_path):
+        from bild_tpu.amis.sampler import FixedkSampler
+        from bild_tpu.infer.core import SamplingResults
+        from bild_tpu.utils import save_results, load_results
+        model = _model()
+        traj = _traj(10, seed=7)
+        samplers = [FixedkSampler(traj, model, k, N=16, max_fev=200,
+                                  max_fcomplete=50, key=jax.random.key(11))
+                    for k in (0, 1)]
+        s = samplers[1]
+        assert s._exhaustive is not None
+        res = SamplingResults(traj, model, 0.0, samplers)
+        path = tmp_path / "ex.npz"
+        save_results(path, res)
+        res2 = load_results(path, model)
+        s2 = res2.samplers[0]
+        assert s2._exhaustive is not None
+        assert set(s2._exhaustive) == set(s._exhaustive)
+        np.testing.assert_allclose(res2.evidence, res.evidence)
+        np.testing.assert_array_equal(res2.best_profile()[:],
+                                      res.best_profile()[:])
+
+
+def MultiStateRouse_small():
+    from bild_tpu.models import MultiStateRouse
+    return MultiStateRouse(5, 1.0, 3.0, d=1, localization_error=0.1)

@@ -48,9 +48,34 @@ def start(package_dir):
     _started = True
 
 
+def _excluded_lines(src_lines):
+    """Lines excluded by ``# pragma: no cover`` (the `coverage` package's
+    standard marker): the marked line itself plus, when it opens a block
+    (``else:`` / ``except ...:`` / ``if ...:``), the whole indented suite."""
+    excluded = set()
+    for i, line in enumerate(src_lines, start=1):
+        if "pragma: no cover" not in line:
+            continue
+        excluded.add(i)
+        code = line.split("#", 1)[0].rstrip()
+        if not code.endswith(":"):
+            continue
+        indent = len(line) - len(line.lstrip())
+        for j in range(i + 1, len(src_lines) + 1):
+            nxt = src_lines[j - 1]
+            if not nxt.strip():
+                excluded.add(j)
+                continue
+            if len(nxt) - len(nxt.lstrip()) <= indent:
+                break
+            excluded.add(j)
+    return excluded
+
+
 def _executable_lines(path):
     """All line numbers bearing executable code, from the compiled code
-    object tree (the same notion `coverage` uses, minus branch analysis)."""
+    object tree (the same notion `coverage` uses, minus branch analysis),
+    minus ``# pragma: no cover`` exclusions."""
     with open(path) as f:
         src = f.read()
     try:
@@ -68,7 +93,7 @@ def _executable_lines(path):
             if hasattr(const, "co_lines"):
                 stack.append(const)
     # docstring-only and `pass`-like lines still appear; close enough
-    return lines
+    return lines - _excluded_lines(src.splitlines())
 
 
 def _ranges(lines):
