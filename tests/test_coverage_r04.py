@@ -646,3 +646,38 @@ class TestSmallResiduals:
 def MultiStateRouse_small():
     from bild_tpu.models import MultiStateRouse
     return MultiStateRouse(5, 1.0, 3.0, d=1, localization_error=0.1)
+
+
+# -- sample_batch argument guards and k >= T lockstep skip ----------------------
+
+class TestSampleBatchGuards:
+    def _batch(self, T=6):
+        from bild_tpu.parallel.batch import stack_trajectories
+        return stack_trajectories([_traj(T, seed=1), _traj(T, seed=2)])
+
+    def test_argument_validation(self, tmp_path):
+        from bild_tpu.parallel import sample_batch
+        m, batch = _model(), self._batch()
+        with pytest.raises(ValueError, match="scout_steps"):
+            sample_batch(m, batch, k_max=1, steps_per_k=4, N=16,
+                         scout_steps=0)
+        with pytest.raises(ValueError, match="steps_per_k"):
+            sample_batch(m, batch, k_max=1, steps_per_k=0, N=16)
+        with pytest.raises(ValueError, match="checkpoint"):
+            sample_batch(m, batch, k_max=1, steps_per_k=4, N=16,
+                         scout_steps=2, checkpoint=str(tmp_path / "ck.npz"))
+        with pytest.raises(ValueError, match="ensemble"):
+            sample_batch(m, batch, k_max=1, steps_per_k=2, N=16,
+                         ensemble=10**9)
+
+    def test_k_exceeding_T_skipped(self):
+        from bild_tpu.parallel import sample_batch
+        m, batch = _model(), self._batch(T=4)
+        res = sample_batch(m, batch, k_max=5, steps_per_k=2, N=16,
+                           key=jax.random.key(0))
+        # ks >= T are unidentifiable by construction: -inf evidence, and the
+        # result keeps the full (k_max+1) layout
+        assert res.evidence.shape == (2, 6)
+        assert np.isneginf(res.evidence[:, 4:]).all()
+        assert np.isfinite(res.evidence[:, :4]).all()
+        assert res.best_k().max() < 4
