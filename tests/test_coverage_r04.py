@@ -681,3 +681,39 @@ class TestSampleBatchGuards:
         assert np.isneginf(res.evidence[:, 4:]).all()
         assert np.isfinite(res.evidence[:, :4]).all()
         assert res.best_k().max() < 4
+
+
+# -- MultiStateRouse noise-resolution guards ------------------------------------
+
+class TestMSRouseGuards:
+    def test_ctor_localization_error_validation(self):
+        from bild_tpu.models import MultiStateRouse
+        with pytest.raises(ValueError, match="localization_error"):
+            MultiStateRouse(5, 1.0, 3.0, d=2,
+                            localization_error=np.zeros(3))
+
+    def test_noise_resolution_and_scalar_metadata(self):
+        from bild_tpu.models import MultiStateRouse
+        from bild_tpu.parallel.batch import stack_trajectories
+        import jax.numpy as jnp
+        m = MultiStateRouse(5, 1.0, 3.0, d=1)     # no model-level error
+        t = _traj(6)                               # no trajectory metadata
+        with pytest.raises(ValueError, match="localization error"):
+            m._get_noise(t)
+        with pytest.raises(ValueError, match="localization_error"):
+            m.lockstep_fns(stack_trajectories([t]))
+        with pytest.raises(ValueError, match="localization_error"):
+            m.trajectory_from_loopingprofile(np.zeros(6, dtype=int),
+                                             key=jax.random.key(0))
+        # 0-d trajectory metadata broadcasts to (d,) like the reference
+        # (bild/models.py:255-263)
+        t_scalar = Trajectory(data=t.data, valid=t.valid,
+                              localization_error=jnp.asarray(0.25))
+        np.testing.assert_allclose(m._get_noise(t_scalar), [0.25])
+
+    def test_generate_batch_default_key(self):
+        from bild_tpu.models import MultiStateRouse
+        m = MultiStateRouse(5, 1.0, 3.0, d=1, localization_error=0.1)
+        batch = m.trajectories_from_loopingprofiles(
+            np.zeros((2, 6), dtype=int))
+        assert batch.data.shape == (2, 6, 1)
