@@ -717,3 +717,63 @@ class TestMSRouseGuards:
         batch = m.trajectories_from_loopingprofiles(
             np.zeros((2, 6), dtype=int))
         assert batch.data.shape == (2, 6, 1)
+
+
+# -- GGM banded validation / caches; CFC non-convergence; sample default key ----
+
+def _ggm(T_band=None, **kw):
+    from bild_tpu.models import GenericGaussianModel as GGM
+    return GGM([
+        [(GGM.MSD_function_twoLocusRouse(G=1.0, J=5.0), 0.1, 0)],
+        [(GGM.MSD_function_twoLocusRouse(G=0.2, J=1.0), 0.1, 0)],
+    ], T_band=T_band, **kw)
+
+
+class TestGGMBandedEdges:
+    def test_T_band_validation(self):
+        with pytest.raises(ValueError, match="T_band"):
+            _ggm(T_band="banana")
+        with pytest.raises(ValueError, match="T_band"):
+            _ggm(T_band=4)
+
+    def test_interval_table_cached_per_traj(self):
+        model = _ggm()
+        traj = model.trajectory_from_loopingprofile(
+            np.zeros(12, dtype=int), rng=np.random.default_rng(0))
+        first = model.interval_table(traj)
+        assert model.interval_table(traj) is first      # cache hit
+        traj2 = model.trajectory_from_loopingprofile(
+            np.zeros(12, dtype=int), rng=np.random.default_rng(1))
+        assert model.interval_table(traj2) is not first  # keyed on data
+
+    def test_band_tail_error_guards(self):
+        model = _ggm(T_band="auto")
+        with pytest.raises(ValueError, match="concrete T_band"):
+            model.band_tail_error(100)          # 'auto' has no fixed band
+        assert model.band_tail_error(16, T_band=32) == 0.0   # T <= W
+        err = model.band_tail_error(256, T_band=32)
+        assert err > 0.0
+
+    def test_auto_band_resolution_cached(self):
+        model = _ggm(T_band="auto")
+        W = model._resolve_band(96)
+        assert 96 in model._auto_band_cache
+        assert model._resolve_band(96) == W     # cache hit
+
+
+class TestCFCNonConvergence:
+    def test_solve_marginals_single_raises(self):
+        from bild_tpu.amis.cfc import CFC
+        cfc = CFC([[0, 1], [1, 0]])
+        cfc.MOM_maxiter = 0                      # forbid any iteration
+        # a target with genuinely coupled marginals cannot converge in 0 steps
+        logf = np.log(np.array([0.7, 0.3]))
+        logg = np.log(np.array([0.4, 0.6]))
+        with pytest.raises(RuntimeError, match="did not converge"):
+            cfc.solve_marginals_single(logf, logg)
+
+
+def test_sample_default_key():
+    res = bild.sample(_traj(8), _model(), k_max=1, init_runs=2,
+                      sampler_kw={"N": 16, "max_fev": 64})
+    assert np.isfinite(res.evidence).any()
