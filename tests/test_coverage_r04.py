@@ -777,3 +777,94 @@ def test_sample_default_key():
     res = bild.sample(_traj(8), _model(), k_max=1, init_runs=2,
                       sampler_kw={"N": 16, "max_fev": 64})
     assert np.isfinite(res.evidence).any()
+
+
+# -- fit_ggm edges ---------------------------------------------------------------
+
+class TestFitGGMEdges:
+    def _spec(self, **extra):
+        p0 = dict(G=1.0, J=5.0, noise2=0.01, **extra)
+        p1 = dict(G=0.2, J=1.0, noise2=0.01, **extra)
+        return [[("twoLocusRouse", p0, 0.0, 0)],
+                [("twoLocusRouse", p1, 0.0, 0)]]
+
+    def _traj_ggm(self, profile, seed=0):
+        from bild_tpu.models import GenericGaussianModel as GGM
+        model = GGM([
+            [(GGM.MSD_function_twoLocusRouse(G=1.0, J=5.0, noise2=0.01),
+              0.0, 0)],
+            [(GGM.MSD_function_twoLocusRouse(G=0.2, J=1.0, noise2=0.01),
+              0.0, 0)],
+        ])
+        return model.trajectory_from_loopingprofile(
+            profile, rng=np.random.default_rng(seed))
+
+    def test_ss_order_validation(self):
+        from bild_tpu.fit_ggm import make_ggm_nll
+        bad = [[("twoLocusRouse", dict(G=1.0, J=5.0, noise2=0.01), 0.0, 2)]]
+        traj = self._traj_ggm(np.zeros(10, dtype=int))
+        with pytest.raises(ValueError, match="ss_order"):
+            make_ggm_nll(bad, traj, np.zeros(10, dtype=int))
+
+    def test_single_trajectory_and_empty_rows(self):
+        from bild_tpu.fit_ggm import fit_ggm
+        prof = np.zeros(24, dtype=int)
+        prof[8:16] = 1
+        traj = self._traj_ggm(prof)
+        # single Trajectory input (the (T, d) -> (1, T, d) view)
+        fit = fit_ggm(self._spec(), traj, prof, steps=3)
+        assert np.isfinite(fit.nll_trace).all()
+        # an all-missing trajectory contributes nothing but does not break
+        empty = Trajectory.create(np.full(24, np.nan))
+        fit2 = fit_ggm(self._spec(), [traj, empty],
+                       [prof, np.zeros(24, dtype=int)], steps=3)
+        np.testing.assert_allclose(fit2.nll_trace, fit.nll_trace)
+
+    def test_calibrate_single_trajectory_motion_blur_roundtrip(self):
+        from bild_tpu.fit_ggm import calibrate_ggm
+        prof = np.zeros(24, dtype=int)
+        prof[8:16] = 1
+        traj = self._traj_ggm(prof, seed=3)
+        cal = calibrate_ggm(
+            self._spec(motion_blur_f=0.5), traj, rounds=1,
+            sample_kwargs=dict(k_max=2, steps_per_k=2, N=16,
+                               informed_init=False),
+            fit_kwargs=dict(steps=3))
+        # motion_blur_f survives the parameters -> spec round trip
+        from bild_tpu.fit_ggm import _spec_with_parameters
+        spec2 = _spec_with_parameters(self._spec(motion_blur_f=0.5),
+                                      cal.parameters)
+        assert spec2[0][0][1]["motion_blur_f"] == 0.5
+        assert cal.parameters[0]["G"] > 0
+
+
+# -- final semantic stragglers ----------------------------------------------------
+
+def test_logLR_boundaries_matches_direct_logL():
+    """Each (boundary, direction) entry equals logL(moved) - logL(current),
+    computed independently through model.logL (pins the batch layout)."""
+    from bild_tpu.postproc import logLR_boundaries
+    model, traj = _model(), _traj(8, seed=4)
+    states = np.array([0, 0, 0, 1, 1, 1, 0, 0])
+    out = logLR_boundaries(Loopingprofile(states), traj, model)
+    assert out.shape == (2, 2)
+    base = model.logL(Loopingprofile(states), traj)
+    moved = states.copy(); moved[2] = 1          # boundary 0 moved left
+    np.testing.assert_allclose(
+        out[0, 0], model.logL(Loopingprofile(moved), traj) - base,
+        rtol=1e-10)
+    moved = states.copy(); moved[6] = 1          # boundary 1 moved right
+    np.testing.assert_allclose(
+        out[1, 1], model.logL(Loopingprofile(moved), traj) - base,
+        rtol=1e-10)
+
+
+def test_loopingprofile_repr():
+    assert repr(Loopingprofile(np.array([0, 1]))) == "Loopingprofile([0, 1])"
+
+
+def test_batch_generative_requires_localization_error():
+    from bild_tpu.models import MultiStateRouse
+    m = MultiStateRouse(5, 1.0, 3.0, d=1)
+    with pytest.raises(ValueError, match="localization_error"):
+        m.trajectories_from_loopingprofiles(np.zeros((1, 6), dtype=int))
