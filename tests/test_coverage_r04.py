@@ -868,3 +868,64 @@ def test_batch_generative_requires_localization_error():
     m = MultiStateRouse(5, 1.0, 3.0, d=1)
     with pytest.raises(ValueError, match="localization_error"):
         m.trajectories_from_loopingprofiles(np.zeros((1, 6), dtype=int))
+
+
+# -- multi-process protocol decisions, unit-tested without a cluster -------------
+# (the 2-process integration path lives in tests/test_distributed.py; these
+# pin the guard DECISIONS by faking the process-level primitives)
+
+class TestMultiprocessProtocolUnit:
+    def _run(self, **kw):
+        from bild_tpu.parallel import make_mesh, sample_dataset
+        kw.setdefault("k_max", 1)
+        kw.setdefault("steps_per_k", 2)
+        kw.setdefault("N", 16)
+        return sample_dataset(_model(), [_traj(8, seed=1), _traj(8, seed=2)],
+                              mesh=make_mesh(), **kw)
+
+    def test_divergence_guard_raises(self, monkeypatch):
+        from bild_tpu.parallel import mesh as mesh_mod
+        monkeypatch.setattr(mesh_mod, "is_multiprocess", lambda m: True)
+        # process 0's hash never matches ours -> divergent launch
+        monkeypatch.setattr(mesh_mod, "broadcast_from_process0",
+                            lambda x: np.asarray(x) + 1)
+        with pytest.raises(ValueError, match="diverged"):
+            self._run(key=jax.random.key(0))
+
+    def test_seed_broadcast_and_identity_run(self, monkeypatch):
+        from bild_tpu.parallel import mesh as mesh_mod
+        monkeypatch.setattr(mesh_mod, "is_multiprocess", lambda m: True)
+        seen = []
+        def echo(x):
+            seen.append(np.asarray(x))
+            return x
+        monkeypatch.setattr(mesh_mod, "broadcast_from_process0", echo)
+        res = self._run(key=None)        # key drawn, then broadcast
+        assert np.isfinite(res.evidence).any()
+        assert len(seen) >= 2            # seed + dataset digest
+
+    def test_checkpoint_hit_unreadable_on_this_process(self, monkeypatch,
+                                                       tmp_path):
+        from bild_tpu.parallel import mesh as mesh_mod
+        monkeypatch.setattr(mesh_mod, "is_multiprocess", lambda m: True)
+        calls = []
+        def fake_broadcast(x):
+            calls.append(x)
+            # echo the digest, then claim process 0 has the checkpoint
+            return x if len(calls) == 1 else np.int64(1)
+        monkeypatch.setattr(mesh_mod, "broadcast_from_process0",
+                            fake_broadcast)
+        with pytest.raises(FileNotFoundError, match="shared filesystem"):
+            self._run(key=jax.random.key(0),
+                      checkpoint_dir=str(tmp_path / "ck"))
+
+    def test_nonzero_process_skips_checkpoint_writes(self, monkeypatch,
+                                                     tmp_path):
+        from bild_tpu.parallel import mesh as mesh_mod
+        monkeypatch.setattr(mesh_mod, "is_multiprocess", lambda m: True)
+        monkeypatch.setattr(mesh_mod, "broadcast_from_process0", lambda x: x)
+        monkeypatch.setattr(jax, "process_index", lambda *a, **k: 1)
+        ckdir = tmp_path / "ck"
+        res = self._run(key=jax.random.key(0), checkpoint_dir=str(ckdir))
+        assert np.isfinite(res.evidence).any()
+        assert list(ckdir.glob("chunk_*.npz")) == []   # exactly-once: not us
