@@ -929,3 +929,41 @@ class TestMultiprocessProtocolUnit:
         res = self._run(key=jax.random.key(0), checkpoint_dir=str(ckdir))
         assert np.isfinite(res.evidence).any()
         assert list(ckdir.glob("chunk_*.npz")) == []   # exactly-once: not us
+
+
+class TestBatchResiduals:
+    def test_per_k_checkpoint_skips_infeasible_k(self, tmp_path):
+        from bild_tpu.parallel import sample_batch
+        from bild_tpu.parallel.batch import stack_trajectories
+        batch = stack_trajectories([_traj(4, seed=1), _traj(4, seed=2)])
+        ck = str(tmp_path / "perk.npz")
+        res = sample_batch(_model(), batch, k_max=5, steps_per_k=2, N=16,
+                           checkpoint=ck, key=jax.random.key(0))
+        assert np.isneginf(res.evidence[:, 4:]).all()
+        # resume from the finished checkpoint reproduces bit-identically
+        res2 = sample_batch(_model(), batch, k_max=5, steps_per_k=2, N=16,
+                            checkpoint=ck, key=jax.random.key(0))
+        np.testing.assert_array_equal(res.evidence, res2.evidence)
+
+    def test_mesh_padding_with_ensemble(self):
+        from bild_tpu.parallel import make_mesh, sample_batch
+        from bild_tpu.parallel.batch import stack_trajectories
+        batch = stack_trajectories([_traj(8, seed=s) for s in range(3)])
+        res = sample_batch(_model(), batch, k_max=1, steps_per_k=2, N=16,
+                           mesh=make_mesh(), ensemble=4,
+                           key=jax.random.key(1))
+        # B=3 padded to the 8-device mesh and unpadded back
+        assert res.evidence.shape == (3, 2)
+        profs, weights = res.profile_ensemble(0)
+        assert profs.shape == (3, 4, 8) and weights.shape == (3, 4)
+
+
+def test_dataset_log_marginal_posterior_best_k():
+    from bild_tpu.parallel.dataset import DatasetResults
+    ev = np.array([[0.0, -1.0]])
+    res = DatasetResults(k=np.arange(2), evidence=ev,
+                         evidence_se=np.full((1, 2), 0.1),
+                         profiles_by_k=[np.zeros((2, 4), dtype=int)],
+                         marginals=[np.log(np.full((2, 2, 4), 0.5))])
+    (m,) = res.log_marginal_posterior()      # best-k (non-average) accessor
+    assert m.shape == (2, 4)
