@@ -4,6 +4,8 @@ skip — input-validation raises, fallback selection, container edge cases,
 checkpoint restore of degenerate/pending samplers. Each test pins semantics
 the library documents (and the reference implies), not just line hits.
 """
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -967,3 +969,95 @@ def test_dataset_log_marginal_posterior_best_k():
                          marginals=[np.log(np.full((2, 2, 4), 0.5))])
     (m,) = res.log_marginal_posterior()      # best-k (non-average) accessor
     assert m.shape == (2, 4)
+
+
+class _NoSegFactorized(FactorizedModel):
+    """Lockstep-capable model that HIDES its frame-factorized score table
+    from the informed-init path (the likelihood still uses it internally):
+    informed init must fall back to the uniform proposal."""
+
+    hide_tables = True
+
+    def lockstep_segment_tables(self, batch):
+        if self.hide_tables:
+            return None
+        return super().lockstep_segment_tables(batch)
+
+    def lockstep_fns(self, batch):
+        self.hide_tables = False
+        try:
+            return super().lockstep_fns(batch)
+        finally:
+            self.hide_tables = True
+
+
+class TestBatchResiduals2:
+    def _batch(self, T=8, B=2):
+        from bild_tpu.parallel.batch import stack_trajectories
+        return stack_trajectories([_traj(T, seed=s) for s in range(B)])
+
+    def test_stack_trajectories_validation(self):
+        from bild_tpu.parallel.batch import stack_trajectories
+        with pytest.raises(ValueError, match="T_pad"):
+            stack_trajectories([_traj(8)], T_pad=4)
+        t2 = Trajectory.create(np.abs(np.random.default_rng(0)
+                                      .normal(size=(6, 2))) + 0.1)
+        with pytest.raises(ValueError, match="same d"):
+            stack_trajectories([_traj(6), t2])
+
+    def test_marginals_accessor_requires_flag(self):
+        from bild_tpu.parallel import sample_batch
+        res = sample_batch(_model(), self._batch(), k_max=1, steps_per_k=2,
+                           N=16, key=jax.random.key(0))
+        with pytest.raises(ValueError, match="marginals=True"):
+            res.log_marginal_posterior()
+
+    def test_informed_cache_hit_and_uniform_fallback(self):
+        from bild_tpu.parallel import sample_batch
+        model, batch = _model(), self._batch()
+        kw = dict(k_max=2, steps_per_k=2, N=16, informed_init=True,
+                  key=jax.random.key(1))
+        res = sample_batch(model, batch, **kw)
+        res2 = sample_batch(model, batch, **kw)    # informed tables cached
+        np.testing.assert_array_equal(res.evidence, res2.evidence)
+
+        model2 = _NoSegFactorized(
+            [sp_stats.maxwell(scale=0.1), sp_stats.maxwell(scale=1.0)], d=1)
+        res3 = sample_batch(model2, batch, **kw)   # uniform fallback
+        assert np.isfinite(res3.evidence).all()
+
+        # infeasible informed ks (k >= T) skip table building per k
+        short = self._batch(T=4)
+        res4 = sample_batch(model, short, k_max=5, steps_per_k=2, N=16,
+                            informed_init=True, key=jax.random.key(2))
+        assert np.isneginf(res4.evidence[:, 4:]).all()
+
+    def test_checkpoint_with_ensemble_and_mom_maxiter(self, tmp_path):
+        from bild_tpu.parallel import sample_batch
+        ck = str(tmp_path / "perk_ens.npz")
+        kw = dict(k_max=5, steps_per_k=2, N=16, ensemble=4, mom_maxiter=500,
+                  key=jax.random.key(3))
+        short = self._batch(T=4)
+        res = sample_batch(_model(), short, checkpoint=ck, **kw)
+        res2 = sample_batch(_model(), short, checkpoint=ck, **kw)  # resume
+        np.testing.assert_array_equal(res.evidence, res2.evidence)
+        p1, w1 = res.profile_ensemble(0)
+        p2, w2 = res2.profile_ensemble(0)
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_allclose(w1, w2)
+
+    def test_multiproc_seed_broadcast_and_write_skip(self, monkeypatch,
+                                                     tmp_path):
+        from bild_tpu.parallel import make_mesh, sample_batch
+        from bild_tpu.parallel import mesh as mesh_mod
+        monkeypatch.setattr(mesh_mod, "is_multiprocess", lambda m: True)
+        monkeypatch.setattr(mesh_mod, "broadcast_from_process0", lambda x: x)
+        res = sample_batch(_model(), self._batch(), k_max=1, steps_per_k=2,
+                           N=16, mesh=make_mesh(), key=None)
+        assert np.isfinite(res.evidence).any()
+
+        monkeypatch.setattr(jax, "process_index", lambda *a, **k: 1)
+        ck = str(tmp_path / "never.npz")
+        sample_batch(_model(), self._batch(), k_max=1, steps_per_k=2, N=16,
+                     mesh=make_mesh(), checkpoint=ck, key=jax.random.key(5))
+        assert not os.path.exists(ck)      # exactly-once: process 0 writes
