@@ -115,6 +115,11 @@ def build_parser():
                         "calibration (stacked into one padded batch)")
     p.add_argument("--dt", type=float, default=1.0,
                    help="frame interval in physical time units (dwell times)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="per-trajectory active-learning schedule "
+                        "(evidence-driven budget allocation + certainty-"
+                        "based early stopping) instead of the fixed "
+                        "lockstep steps-per-k schedule")
     p.add_argument("--mesh", action="store_true",
                    help="shard chunks over all visible devices")
     p.add_argument("--seed", type=int, default=0)
@@ -177,7 +182,8 @@ def main(argv=None):
         key=jax.random.key(args.seed),
         checkpoint_dir=args.checkpoint_dir,
         show_progress=not args.quiet,
-        optimize_boundaries=args.optimize_boundaries)
+        optimize_boundaries=args.optimize_boundaries,
+        schedule="adaptive" if args.adaptive else "lockstep")
 
     best_k = res.best_k()
     profiles = res.best_profile()
@@ -191,6 +197,8 @@ def main(argv=None):
     }
     if fitted is not None:
         out["fitted_D"], out["fitted_k"] = fitted
+    if args.adaptive and res.evals is not None:
+        out["likelihood_evals"] = res.evals
     if args.marginals:
         out["log_marginal_posterior"] = _object_array(
             res.log_marginal_posterior(dE="average"))

@@ -61,7 +61,7 @@ class ChoiceSampler:
     """
 
     def __init__(self, logev, var_logev, n_steps, margin,
-                 samplesize=10000, rng=None):
+                 samplesize=10000, rng=None, noise=None):
         self.logev = np.asarray(logev, dtype=float)
         self.var_logev = np.asarray(var_logev, dtype=float)
         self.margin = float(margin)
@@ -74,9 +74,9 @@ class ChoiceSampler:
         if rng is None:
             rng = np.random.default_rng()
         self._rng = rng
-        self.init_sample()
+        self.init_sample(noise=noise)
 
-    def init_sample(self):
+    def init_sample(self, noise=None):
         """
         (Re-)draw the cached evidence-curve sample underlying every score.
 
@@ -84,8 +84,15 @@ class ChoiceSampler:
         (common random numbers); calling this again re-randomizes an
         existing instance, like the reference's
         ``ChoiceSampler.init_sample`` (``bild/choicesampler.py:99-110``).
+        ``noise`` injects the ``(samplesize, k)`` standard-normal draws
+        directly (decision-parity testing against the batched device
+        scheduler, `bild_tpu.infer.adaptive.decide_batch`).
         """
-        noise = self._rng.standard_normal((self.samplesize, self.n_k))
+        if noise is None:
+            noise = self._rng.standard_normal((self.samplesize, self.n_k))
+        else:
+            noise = np.asarray(noise, dtype=float)
+        self.samplesize = noise.shape[0]
         self._curves = self.logev + np.sqrt(self.var_logev) * noise
         self.counts0 = self._tally(self._pick(self._curves))
 

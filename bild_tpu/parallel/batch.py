@@ -150,6 +150,11 @@ class BatchResults:
     # is the correct aggregation.
     top_profiles: Optional[np.ndarray] = None  # (K+1, B, M, T)
     top_logw: Optional[np.ndarray] = None      # (K+1, B, M)
+    # adaptive mode (`infer.adaptive.sample_batch_adaptive`): likelihood
+    # evaluations actually spent per trajectory, and rounds run — the
+    # budget-allocation record the fixed lockstep schedule doesn't have
+    evals: Optional[np.ndarray] = None         # (B,)
+    rounds: Optional[int] = None
 
     def best_k(self, dE=None) -> np.ndarray:
         """(B,) smallest k within dE of each trajectory's max evidence."""

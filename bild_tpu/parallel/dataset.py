@@ -46,6 +46,8 @@ class DatasetResults:
     # (B, K+1) — CFC method-of-marginals converged for that (trajectory, k)
     # lockstep run (see BatchResults.mom_ok); True for skipped/padded k
     mom_ok: Optional[np.ndarray] = None
+    # (B,) — likelihood evals spent per trajectory (schedule='adaptive' only)
+    evals: Optional[np.ndarray] = None
 
     def best_k(self, dE=None) -> np.ndarray:
         dE = self.dE if dE is None else dE
@@ -99,6 +101,7 @@ def sample_dataset(model, trajs: Sequence,
                    checkpoint_dir=None,
                    show_progress=False,
                    optimize_boundaries=False,
+                   schedule="lockstep",
                    **sample_kw) -> DatasetResults:
     """
     Full-dataset lockstep inference over ragged trajectories.
@@ -127,6 +130,17 @@ def sample_dataset(model, trajs: Sequence,
         (`postproc.optimize_boundary_batch`) on each chunk's best profiles
         at the given ``dE``; results land in ``DatasetResults.optimized``
         with per-trajectory ``eliminated`` flags.
+    schedule : "lockstep" | "adaptive"
+        "lockstep" (default) runs the fixed ``steps_per_k`` schedule through
+        `sample_batch`; "adaptive" runs the per-trajectory active-learning
+        scheduler (`infer.adaptive.sample_batch_adaptive` — the reference's
+        evidence-driven budget allocation and certainty-based stopping,
+        ``bild/core.py:138-227``, at dataset scale). Adaptive-specific knobs
+        (``init_steps``, ``steps_per_round``, ``max_steps_per_k``,
+        ``certainty_in_k``, ...) pass through ``**sample_kw``;
+        ``steps_per_k``/``scout_steps``/``refine_top`` are lockstep-only and
+        ignored under "adaptive". Adaptive mode is single-process (no
+        ``mesh``) in this release.
 
     Returns `DatasetResults` in the original trajectory order.
 
@@ -164,10 +178,21 @@ def sample_dataset(model, trajs: Sequence,
     # extra sample_batch kwargs (e.g. mom_maxiter) change results, so they
     # must key the chunk checkpoints too (appended only when present, so
     # checkpoints of plain runs stay valid across versions)
+    if schedule not in ("lockstep", "adaptive"):
+        raise ValueError(f"schedule must be 'lockstep' or 'adaptive', "
+                         f"got {schedule!r}")
+    if schedule == "adaptive" and mesh is not None:
+        raise ValueError("schedule='adaptive' does not support a mesh yet "
+                         "(per-trajectory decisions are single-process)")
+
     config = ("v1", k_max, steps_per_k, N, scout_steps, refine_top,
               informed_init, marginals, chunk_size,
               bool(optimize_boundaries), float(dE),
               np.asarray(jax.random.key_data(key)).tolist())
+    if schedule != "lockstep":
+        # appended only for non-default schedules: lockstep checkpoints
+        # written before this option keep resuming
+        config += (schedule,)
     if sample_kw:
         config += (sorted(sample_kw.items()),)
     # a re-parametrized model (e.g. after a calibration round) must not
@@ -203,6 +228,7 @@ def sample_dataset(model, trajs: Sequence,
     opt_by_traj: List[Optional[np.ndarray]] = [None] * B_total
     elim_all = np.zeros(B_total, dtype=bool)
     mom_all = np.ones((B_total, K1), dtype=bool)
+    evals_all = np.zeros(B_total, dtype=np.int64)
 
     # stable chunk schedule: bucket, then split each bucket
     work = []
@@ -250,15 +276,25 @@ def sample_dataset(model, trajs: Sequence,
             elim = loaded["eliminated"] if optimize_boundaries else None
             mom = (loaded["mom_ok"] if "mom_ok" in loaded.files
                    else np.ones_like(ev, dtype=bool))
+            evl = (loaded["evals"] if "evals" in loaded.files
+                   and loaded["evals"].size else None)
         else:
-            res = sample_batch(
-                model, sub, k_max=k_max, steps_per_k=steps_per_k, N=N,
-                dE=dE, scout_steps=scout_steps, refine_top=refine_top,
-                informed_init=informed_init, marginals=marginals,
-                mesh=mesh, key=jax.random.fold_in(key, c), **sample_kw)
+            if schedule == "adaptive":
+                from ..infer.adaptive import sample_batch_adaptive
+                res = sample_batch_adaptive(
+                    model, sub, k_max=k_max, N=N, dE=dE,
+                    informed_init=informed_init, marginals=marginals,
+                    key=jax.random.fold_in(key, c), **sample_kw)
+            else:
+                res = sample_batch(
+                    model, sub, k_max=k_max, steps_per_k=steps_per_k, N=N,
+                    dE=dE, scout_steps=scout_steps, refine_top=refine_top,
+                    informed_init=informed_init, marginals=marginals,
+                    mesh=mesh, key=jax.random.fold_in(key, c), **sample_kw)
             ev, se, maps = res.evidence, res.evidence_se, res.map_profiles
             marg = res.marginals
             mom = res.mom_ok
+            evl = res.evals
             opt = elim = None
             if optimize_boundaries:
                 from ..postproc import optimize_boundary_batch
@@ -273,7 +309,8 @@ def sample_dataset(model, trajs: Sequence,
                          optimized=(opt if opt is not None else np.zeros(0)),
                          eliminated=(elim if elim is not None
                                      else np.zeros(0)),
-                         mom_ok=mom)
+                         mom_ok=mom,
+                         evals=(evl if evl is not None else np.zeros(0)))
                 os.replace(tmp, ck_path)
 
         k_here = ev.shape[1]
@@ -285,6 +322,8 @@ def sample_dataset(model, trajs: Sequence,
             evidence_se[i, :k_here] = se[row]
             evidence_se[i, k_here:] = 1e-10
             mom_all[i, :k_here] = mom[row]
+            if evl is not None:
+                evals_all[i] = evl[row]
             Ti = int(lengths[row])
             prof = np.zeros((K1, Ti), dtype=int)
             prof[:k_here] = maps[:, row, :Ti]
@@ -308,4 +347,5 @@ def sample_dataset(model, trajs: Sequence,
         optimized=opt_by_traj if optimize_boundaries else None,
         eliminated=elim_all if optimize_boundaries else None,
         mom_ok=mom_all,
+        evals=evals_all if schedule == "adaptive" else None,
     )
