@@ -122,6 +122,13 @@ def build_parser():
                         "lockstep steps-per-k schedule")
     p.add_argument("--mesh", action="store_true",
                    help="shard chunks over all visible devices")
+    p.add_argument("--process-local", action="store_true",
+                   help="multi-host sharded ingestion: the data argument is "
+                        "THIS process's CSV shard (disjoint traj_ids across "
+                        "processes); joins the jax.distributed cluster, "
+                        "feeds rows process-locally, and produces results "
+                        "bit-identical to a single-process full-data run "
+                        "(parallel.sample_dataset_sharded)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quiet", action="store_true")
     return p
@@ -136,9 +143,15 @@ def main(argv=None):
     from .models import MultiStateRouse
     from .parallel import make_mesh, sample_dataset
 
-    trajs = bio.load_trajectories_csv(
-        args.data, two_locus=args.two_locus,
-        localization_error=args.localization_error)
+    traj_ids = None
+    if args.process_local:
+        trajs, traj_ids = bio.load_trajectories_csv(
+            args.data, two_locus=args.two_locus,
+            localization_error=args.localization_error, return_ids=True)
+    else:
+        trajs = bio.load_trajectories_csv(
+            args.data, two_locus=args.two_locus,
+            localization_error=args.localization_error)
     if not trajs:
         print("no trajectories found", file=sys.stderr)
         return 1
@@ -171,19 +184,38 @@ def main(argv=None):
                   f"trajectories: D={cal.D:.4g} (from {args.D:.4g}), "
                   f"k={cal.k:.4g} (from {args.k:.4g})")
 
-    res = sample_dataset(
-        model, trajs,
-        k_max=args.k_max, steps_per_k=args.steps_per_k, N=args.proposals,
-        dE=args.dE,
-        scout_steps=args.scout_steps or None, refine_top=args.refine_top,
-        marginals=args.marginals,
-        chunk_size=args.chunk_size,
-        mesh=make_mesh() if args.mesh else None,
-        key=jax.random.key(args.seed),
-        checkpoint_dir=args.checkpoint_dir,
-        show_progress=not args.quiet,
-        optimize_boundaries=args.optimize_boundaries,
-        schedule="adaptive" if args.adaptive else "lockstep")
+    if args.process_local:
+        if args.adaptive or args.optimize_boundaries:
+            print("--process-local does not combine with --adaptive/"
+                  "--optimize-boundaries yet", file=sys.stderr)
+            return 1
+        from .parallel import sample_dataset_sharded
+        mesh = (make_mesh(axis_names=("data",), distributed=True)
+                if args.mesh else None)
+        res = sample_dataset_sharded(
+            model, trajs, traj_ids, mesh=mesh,
+            k_max=args.k_max, steps_per_k=args.steps_per_k,
+            N=args.proposals, dE=args.dE,
+            scout_steps=args.scout_steps or None,
+            refine_top=args.refine_top, marginals=args.marginals,
+            chunk_size=args.chunk_size,
+            key=jax.random.key(args.seed),
+            checkpoint_dir=args.checkpoint_dir,
+            show_progress=not args.quiet)
+    else:
+        res = sample_dataset(
+            model, trajs,
+            k_max=args.k_max, steps_per_k=args.steps_per_k, N=args.proposals,
+            dE=args.dE,
+            scout_steps=args.scout_steps or None, refine_top=args.refine_top,
+            marginals=args.marginals,
+            chunk_size=args.chunk_size,
+            mesh=make_mesh() if args.mesh else None,
+            key=jax.random.key(args.seed),
+            checkpoint_dir=args.checkpoint_dir,
+            show_progress=not args.quiet,
+            optimize_boundaries=args.optimize_boundaries,
+            schedule="adaptive" if args.adaptive else "lockstep")
 
     best_k = res.best_k()
     profiles = res.best_profile()

@@ -26,7 +26,7 @@ __all__ = ["load_trajectories_csv", "load_trajectories_csv_python"]
 
 
 def _assemble(ids, offsets, frames, data, two_locus, localization_error,
-              max_frames: Optional[int]) -> List[Trajectory]:
+              max_frames: Optional[int], return_ids: bool = False):
     trajs = []
     d = data.shape[1]
     if two_locus:
@@ -44,12 +44,16 @@ def _assemble(ids, offsets, frames, data, two_locus, localization_error,
         full = np.full((T, data.shape[1]), np.nan)
         full[fr - f0] = data[lo:hi]
         trajs.append(Trajectory.create(full, localization_error=localization_error))
+    if return_ids:
+        return trajs, np.asarray(ids, dtype=np.int64)
     return trajs
 
 
 def load_trajectories_csv_python(path, two_locus=False, localization_error=None,
-                                 max_frames=None) -> List[Trajectory]:
-    """Pure-Python reference implementation of the CSV loader."""
+                                 max_frames=None, return_ids=False):
+    """Pure-Python reference implementation of the CSV loader.
+    ``return_ids=True`` additionally returns the ``traj_id`` per trajectory
+    (the global ids `parallel.sample_dataset_sharded` keys on)."""
     groups = {}
     n_values = 0
     with open(path) as f:
@@ -89,20 +93,22 @@ def load_trajectories_csv_python(path, two_locus=False, localization_error=None,
     return _assemble(np.array(ids), np.array(offsets),
                      np.array(frames_all, dtype=np.int64),
                      np.array(data_all, dtype=float),
-                     two_locus, localization_error, max_frames)
+                     two_locus, localization_error, max_frames, return_ids)
 
 
 def load_trajectories_csv(path, two_locus=False, localization_error=None,
-                          max_frames=None) -> List[Trajectory]:
+                          max_frames=None, return_ids=False):
     """
     Load a trajectory table. Uses the native multithreaded parser when the
     C++ extension is available; otherwise the Python fallback.
+    ``return_ids=True`` additionally returns the ``traj_id`` per trajectory.
     """
     lib = native.get_lib()
     if lib is None:
         return load_trajectories_csv_python(
             path, two_locus=two_locus,
-            localization_error=localization_error, max_frames=max_frames)
+            localization_error=localization_error, max_frames=max_frames,
+            return_ids=return_ids)
 
     handle = ctypes.c_void_p()
     status = lib.bild_csv_load(str(path).encode(), ctypes.byref(handle))
@@ -113,7 +119,8 @@ def load_trajectories_csv(path, two_locus=False, localization_error=None,
         # failures without killing the pipeline.
         return load_trajectories_csv_python(
             path, two_locus=two_locus,
-            localization_error=localization_error, max_frames=max_frames)
+            localization_error=localization_error, max_frames=max_frames,
+            return_ids=return_ids)
     try:
         n_trajs = ctypes.c_int64()
         total_rows = ctypes.c_int64()
@@ -133,4 +140,4 @@ def load_trajectories_csv(path, two_locus=False, localization_error=None,
     finally:
         lib.bild_csv_free(handle)
     return _assemble(ids, offsets, frames, data, two_locus,
-                     localization_error, max_frames)
+                     localization_error, max_frames, return_ids)

@@ -486,7 +486,10 @@ def sample_batch(model, batch: TrajectoryBatch,
                  scout_steps=None,
                  refine_top=3,
                  mom_maxiter=1000,
-                 ensemble=0) -> BatchResults:
+                 ensemble=0,
+                 row_keys=None,
+                 informed_arrays=None,
+                 lockstep=None) -> BatchResults:
     """
     Lockstep inference over a trajectory batch.
 
@@ -546,6 +549,27 @@ def sample_batch(model, batch: TrajectoryBatch,
         ``scout_steps * N`` under the two-phase schedule (non-refined lanes
         keep only their scout ensemble), else ``steps_per_k * N``.
 
+    row_keys : optional (B,) typed PRNG key array
+        per-TRAJECTORY base keys; lane k of row b then samples from
+        ``fold_in(row_keys[b], k)`` instead of the position-derived
+        ``split`` schedule. This makes a trajectory's result independent of
+        WHERE in the batch it sits — the property the process-local sharded
+        dataset driver (`sample_dataset_sharded`) relies on for
+        bit-identical results across process counts. Keys must be computed
+        identically on every process of a multi-process launch.
+    lockstep : optional (per_traj, logL_fn) pair
+        overrides ``model.lockstep_fns(batch)``. The process-local sharded
+        driver computes ``lockstep_fns`` on each process's OWN rows (the
+        host-side table builds must never see the global batch) and feeds
+        the per-trajectory leaves into one global array; ``batch`` then
+        only supplies shapes and true lengths.
+    informed_arrays : optional (a_inf, logp_inf, use) triple
+        precomputed informed-init proposal arrays (shapes as returned by
+        the internal DP sweep: ``(K1, B, K1)``, ``(K1, B, n, K1)``,
+        ``(K1, B)``), possibly global device arrays fed process-locally.
+        Overrides ``informed_init`` (whose host DP would pull the batch
+        data to every host). Not combinable with ``checkpoint``.
+
     Notes
     -----
     Per-trajectory true lengths (``batch.lengths``) gate the evidence: k at
@@ -569,6 +593,9 @@ def sample_batch(model, batch: TrajectoryBatch,
     if checkpoint is not None and scout_steps is not None:
         raise ValueError("scout_steps (two-phase schedule) cannot be "
                          "combined with checkpoint (per-k resume)")
+    if checkpoint is not None and informed_arrays is not None:
+        raise ValueError("informed_arrays (precomputed/fed informed init) "
+                         "cannot be combined with checkpoint")
     if scout_steps is not None and not (1 <= scout_steps <= steps_per_k):
         # scout_steps=0 would build a 0-step runner whose final-evidence read
         # state.evidences[-1] is an out-of-bounds gather — silently clamped
@@ -601,7 +628,10 @@ def sample_batch(model, batch: TrajectoryBatch,
     if mesh is not None:
         batch = pad_batch_rows(batch, -batch.B % mesh.shape["data"])
 
-    per_traj, logL_fn = model.lockstep_fns(batch)
+    if lockstep is not None:
+        per_traj, logL_fn = lockstep
+    else:
+        per_traj, logL_fn = model.lockstep_fns(batch)
     if mesh is not None:
         from .mesh import shard_batch
         per_traj = shard_batch(per_traj, mesh)
@@ -616,10 +646,31 @@ def sample_batch(model, batch: TrajectoryBatch,
     cb = jnp.asarray(N * concentration_brake, dtype=dtype)
     pb = jnp.asarray(N * polarization_brake, dtype=dtype)
 
-    informed = _informed_proposals_all_k(
-        model, batch, K1, n, T,
-        cache_token=informed_cache_token + (batch.B,)) \
-        if informed_init else None
+    if informed_arrays is not None:
+        informed = None          # injected below, never host-assembled here
+    elif informed_init:
+        informed = _informed_proposals_all_k(
+            model, batch, K1, n, T,
+            cache_token=informed_cache_token + (batch.B,))
+    else:
+        informed = None
+
+    def _keys_for(ks_list):
+        """Per-(k, trajectory) PRNG keys: position-derived split schedule,
+        or trajectory-identity fold_in when ``row_keys`` is given."""
+        nonlocal key
+        if row_keys is not None:
+            return jnp.stack([
+                jax.vmap(lambda rk: jax.random.fold_in(rk, kk))(row_keys)
+                for kk in ks_list])
+        out = []
+        for _ in ks_list:
+            key, sub = jax.random.split(key)
+            # NB: filler rows from a mesh pad get the natural key suffix —
+            # jax.random.split has the prefix property (split(k, B)[:B0] ==
+            # split(k, B0)), so real rows' keys are pad-invariant
+            out.append(jax.random.split(sub, B))
+        return jnp.stack(out)
 
     def skipped_k():
         return (np.full((B, 3), [-np.inf, 1e-10, np.inf]),
@@ -654,14 +705,15 @@ def sample_batch(model, batch: TrajectoryBatch,
         stacks_np = [np.stack([p[i] for p in params]) for i in range(7)]
         stacked = [jnp.asarray(s, dtype=(bool if i in (4, 5) else dtype))
                    for i, s in enumerate(stacks_np)]
-        keys = []
-        for _ in ks:
-            key, sub = jax.random.split(key)
-            # NB: filler rows from a mesh pad get the natural key suffix —
-            # jax.random.split has the prefix property (split(k, B)[:B0] ==
-            # split(k, B0)), so real rows' keys are pad-invariant
-            keys.append(jax.random.split(sub, B))
-        keys = jnp.stack(keys)
+        if informed_arrays is not None:
+            # injected (possibly process-locally fed, global) arrays replace
+            # the host-assembled informed slots; lane axis restricted to ks
+            a_inf_g, logp_inf_g, use_g = informed_arrays
+            sel = jnp.asarray(ks)
+            stacked[2] = jnp.asarray(a_inf_g, dtype=dtype)[sel]
+            stacked[3] = jnp.asarray(logp_inf_g, dtype=dtype)[sel]
+            stacked[4] = jnp.asarray(use_g)[sel]
+        keys = _keys_for(ks)
         out = runner(
             per_traj, keys, transitions, *stacked[:6], stacked[6], cb, pb)
         if scout_steps is None:
@@ -770,8 +822,14 @@ def sample_batch(model, batch: TrajectoryBatch,
         config = _checkpoint_config(batch, k_max, steps_per_k, N,
                                     marginals, informed_init, ensemble,
                                     mom_maxiter)
-        tag = _checkpoint_tag(model, batch,
-                              np.asarray(jax.random.key_data(key)))
+        entry_kd = np.asarray(jax.random.key_data(key))
+        if row_keys is not None:
+            # row keys define the PRNG streams; a different set must not
+            # resume another run's checkpoint
+            entry_kd = np.concatenate(
+                [entry_kd.ravel(),
+                 np.asarray(jax.random.key_data(row_keys)).ravel()])
+        tag = _checkpoint_tag(model, batch, entry_kd)
         import os
         if os.path.exists(checkpoint):
             ck = np.load(checkpoint)
@@ -835,8 +893,7 @@ def sample_batch(model, batch: TrajectoryBatch,
             active = jnp.asarray(p[5])
             logprior = jnp.asarray(p[6], dtype=dtype)
 
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, B)
+            keys = _keys_for([k])[0]
             (ev_k, map_k, marg_k, mom_k,
              top_k, tlw_k) = runner(per_traj, keys, transitions,
                                     a0, logp0, a_inf, logp_inf,

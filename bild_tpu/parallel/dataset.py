@@ -48,6 +48,9 @@ class DatasetResults:
     mom_ok: Optional[np.ndarray] = None
     # (B,) — likelihood evals spent per trajectory (schedule='adaptive' only)
     evals: Optional[np.ndarray] = None
+    # (B,) — global trajectory ids (`sample_dataset_sharded` only; rows are
+    # in ascending-id order)
+    ids: Optional[np.ndarray] = None
 
     def best_k(self, dE=None) -> np.ndarray:
         dE = self.dE if dE is None else dE

@@ -234,3 +234,165 @@ def test_two_process_cpu_cluster(tmp_path):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"OK {i}" in out
     _merge_worker_cov(tmp_path)
+
+
+# -- process-local (sharded) ingestion ---------------------------------------
+# Each worker reads a DISJOINT CSV shard (no process ever holds the full
+# dataset), feeds its rows via jax.make_array_from_process_local_data, and
+# the run must reproduce the single-process full-data run bit-exactly
+# (trajectory-id-keyed PRNG streams make results composition-invariant).
+
+_SHARD_SRC = textwrap.dedent("""
+    import numpy as np
+    import jax
+    from scipy import stats as sp_stats
+    from bild_tpu.models import FactorizedModel
+
+    def build_model():
+        return FactorizedModel([sp_stats.maxwell(scale=0.1),
+                                sp_stats.maxwell(scale=1)], d=1)
+
+    def write_shards(outdir):
+        import os
+        np.random.seed(180356)
+        model = build_model()
+        lengths = [8, 14, 8, 11, 14, 8, 11, 8]
+        rows_by_shard = {0: [], 1: []}
+        for i, T in enumerate(lengths):
+            prof = np.zeros(T, dtype=int)
+            if i % 2 == 1:
+                prof[T // 2:] = 1
+            t = model.trajectory_from_loopingprofile(
+                prof, key=jax.random.key(60 + i))
+            data = np.asarray(t.data)
+            for fr in range(T):
+                rows_by_shard[i % 2].append(
+                    f"{100 + i},{fr},{data[fr, 0]!r}")
+        paths = []
+        for s, rows in rows_by_shard.items():
+            p = os.path.join(outdir, f"shard{s}.csv")
+            with open(p, "w") as f:
+                f.write("traj_id,frame,x\\n")
+                f.write("\\n".join(rows) + "\\n")
+            paths.append(p)
+        return paths
+
+    SHARD_KW = dict(k_max=3, steps_per_k=6, N=24, bucket_edges=(8, 16),
+                    chunk_size=4, informed_init=True, marginals=True)
+""")
+
+_SHARD_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    port, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    if os.environ.get("COV") not in (None, "", "0"):
+        sys.path.insert(0, os.path.join({repo!r}, "tools"))
+        import atexit, simplecov
+        simplecov.start(os.path.join({repo!r}, "bild_tpu"))
+        atexit.register(simplecov.dump_data,
+                        os.path.join(outdir, "cov_shard_worker%d.json" % pid))
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    sys.path.insert(0, {repo!r})
+    import numpy as np
+    from bild_tpu.io import load_trajectories_csv
+    from bild_tpu.parallel import make_mesh, sample_dataset_sharded
+
+    exec(open(os.path.join(outdir, "shard_src.py")).read())
+
+    mesh = make_mesh(axis_names=("data",), distributed=True,
+                     coordinator_address=f"localhost:{{port}}",
+                     num_processes=2, process_id=pid)
+
+    # THIS process's shard only — the other file is never read
+    trajs, ids = load_trajectories_csv(
+        os.path.join(outdir, f"shard{{pid}}.csv"), return_ids=True)
+    assert len(trajs) == 4
+
+    ckdir = os.path.join(outdir, "ck")
+    os.makedirs(ckdir, exist_ok=True)
+    writes = []
+    _orig_replace = os.replace
+    def counting_replace(src, dst):
+        if os.path.dirname(dst) == ckdir:
+            writes.append(dst)
+        return _orig_replace(src, dst)
+    os.replace = counting_replace
+
+    res = sample_dataset_sharded(model=build_model(), local_trajs=trajs,
+                                 local_ids=ids, mesh=mesh,
+                                 checkpoint_dir=ckdir,
+                                 key=jax.random.key(9), **SHARD_KW)
+    np.savez(os.path.join(outdir, f"shard_res{{pid}}.npz"),
+             ids=res.ids, evidence=res.evidence,
+             evidence_se=res.evidence_se,
+             profiles=np.concatenate([p.ravel() for p in res.profiles_by_k]),
+             marginals=np.concatenate([m.ravel() for m in res.marginals]),
+             mom_ok=res.mom_ok, n_ck_writes=len(writes))
+    print(f"OK {{pid}}", flush=True)
+""")
+
+
+def test_two_process_sharded_ingestion(tmp_path):
+    """Process-local ingestion: two processes each read a DISJOINT CSV file
+    shard; `sample_dataset_sharded` over the 2-process mesh must reproduce
+    the single-process full-data run BIT-EXACTLY, with exactly-once
+    checkpoint writes by process 0."""
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    (tmp_path / "shard_src.py").write_text(_SHARD_SRC)
+
+    # build the shards once (deterministic; workers re-read, not re-write)
+    ns = {}
+    exec(_SHARD_SRC, ns)
+    ns["write_shards"](str(tmp_path))
+
+    worker = tmp_path / "shard_worker.py"
+    worker.write_text(_SHARD_WORKER.format(repo=repo))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(port), str(i), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env, cwd=str(tmp_path)) for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+        assert f"OK {i}" in out
+    _merge_worker_cov(tmp_path)
+
+    import numpy as np
+    res0 = np.load(tmp_path / "shard_res0.npz")
+    res1 = np.load(tmp_path / "shard_res1.npz")
+
+    # exactly-once checkpoint I/O
+    assert int(res0["n_ck_writes"]) > 0
+    assert int(res1["n_ck_writes"]) == 0
+    # identical full results on both processes
+    for f in res0.files:
+        if f != "n_ck_writes":
+            np.testing.assert_array_equal(res0[f], res1[f], err_msg=f)
+
+    # single-process full-data reference: load BOTH shards, no mesh
+    from bild_tpu.io import load_trajectories_csv
+    from bild_tpu.parallel import sample_dataset_sharded
+    import jax
+    t0, i0 = load_trajectories_csv(str(tmp_path / "shard0.csv"),
+                                   return_ids=True)
+    t1, i1 = load_trajectories_csv(str(tmp_path / "shard1.csv"),
+                                   return_ids=True)
+    ref = sample_dataset_sharded(
+        model=ns["build_model"](), local_trajs=t0 + t1,
+        local_ids=np.concatenate([i0, i1]), mesh=None,
+        key=jax.random.key(9), **ns["SHARD_KW"])
+    np.testing.assert_array_equal(res0["ids"], ref.ids)
+    np.testing.assert_array_equal(res0["evidence"], ref.evidence)
+    np.testing.assert_array_equal(res0["evidence_se"], ref.evidence_se)
+    np.testing.assert_array_equal(
+        res0["profiles"],
+        np.concatenate([p.ravel() for p in ref.profiles_by_k]))
+    np.testing.assert_array_equal(
+        res0["marginals"],
+        np.concatenate([m.ravel() for m in ref.marginals]))
+    np.testing.assert_array_equal(res0["mom_ok"], ref.mom_ok)
