@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--decompose", action="store_true",
                     help="also run each B unsharded on one device to "
                          "separate mesh overhead from working-set growth")
+    ap.add_argument("--reps", type=int, default=5,
+                    help="timed repeats per cell; medians and spreads are "
+                         "reported and claims assert on the MEDIAN "
+                         "(single-cell timings on this host carry a ~10%% "
+                         "noise band - VERDICT r4 weak point 3)")
     args = ap.parse_args()
     devs = [int(x) for x in args.devices.split(",")]
     n_max = max(devs)
@@ -92,9 +97,12 @@ def main():
                                 key=jax.random.key(42), **kw)
 
         res = run()                    # warm (compiles per B shape)
-        t0 = time.perf_counter()
-        res = run()
-        wall = time.perf_counter() - t0
+        walls = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            res = run()
+            walls.append(time.perf_counter() - t0)
+        wall = float(np.median(walls))
 
         if n == 1:
             wall1 = wall
@@ -117,6 +125,8 @@ def main():
         overhead = wall / (n * wall1)
         acc = _accuracy(res.best_profile(), truths[:B])
         row = {"n_dev": n, "B": B, "wall_s": round(wall, 2),
+               "wall_s_all": [round(w, 2) for w in walls],
+               "wall_s_spread": [round(min(walls), 2), round(max(walls), 2)],
                "overhead_vs_ideal": round(overhead, 3),
                "frame_accuracy": round(acc, 4)}
 
@@ -128,10 +138,15 @@ def main():
                 return sample_batch(model, batch, mesh=None,
                                     key=jax.random.key(42), **kw)
             run_unsharded()
-            t0 = time.perf_counter()
-            run_unsharded()
-            wall_u = time.perf_counter() - t0
+            walls_u = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                run_unsharded()
+                walls_u.append(time.perf_counter() - t0)
+            wall_u = float(np.median(walls_u))
             row["wall_unsharded_s"] = round(wall_u, 2)
+            row["wall_unsharded_s_spread"] = [round(min(walls_u), 2),
+                                              round(max(walls_u), 2)]
             if n == 1:
                 results["_unsh1"] = wall_u
             row["overhead_unsharded"] = round(
@@ -142,6 +157,12 @@ def main():
         print(json.dumps(row), flush=True)
 
     results.pop("_unsh1", None)
+    if args.decompose:
+        # the claim: mesh machinery adds <= 5% on the MEDIAN of every cell
+        meds = [r["mesh_machinery_overhead"] for r in results["runs"]]
+        results["mesh_machinery_overhead_max_median"] = round(max(meds), 3)
+        results["claim_mesh_overhead_le_1.05"] = bool(max(meds) <= 1.05)
+    results["reps"] = args.reps
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {args.out}")
