@@ -38,6 +38,7 @@ def sample(traj, model,
            sampler_kw={},
            choice_kw={},
            show_progress=False,
+           decision_interval=3,
            key: Optional[jax.Array] = None):
     """
     Run the full BILD scheme for one trajectory.
@@ -48,6 +49,17 @@ def sample(traj, model,
     ``certainty_in_k`` and the lookahead region (the last ``k_lookahead``
     values of k) carries less expected information than one more sample.
     ``key`` seeds all device-side sampling explicitly.
+
+    ``decision_interval`` batches the active-learning loop: each decision
+    commits the chosen k to that many AMIS steps in ONE device dispatch
+    (the per-step host round trips otherwise dominate wall time on remote
+    TPUs — SURVEY.md section 7 "host-device ping-pong"). At 1 the decision
+    cadence is exactly the reference's (``bild/core.py:202-227``); the
+    default of 3 changes only how often the choice distribution is
+    re-evaluated, not any sampler's PRNG stream (a sampler's stream depends
+    on how many steps IT ran, never on the interleaving), and stops at the
+    same certainty rule within ``decision_interval`` steps of where the
+    stepwise loop would.
 
     Returns
     -------
@@ -79,9 +91,6 @@ def sample(traj, model,
             log["k"][-1] = k
         if ran:
             memory["fresh sample"] = True
-
-    def add_sample(k):
-        add_samples(k, 1)
 
     def determine_next_step():
         k_new = len(samplers)
@@ -142,7 +151,7 @@ def sample(traj, model,
     try:
         while run_condition:
             if k_next < len(samplers):
-                add_sample(k_next)
+                add_samples(k_next, decision_interval)
             elif k_next == len(samplers):
                 add_sampler(k_next)
             else:  # pragma: no cover

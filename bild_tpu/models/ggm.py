@@ -268,6 +268,80 @@ def _profile_table_sum(profiles, Vflat, n_states):
     return jnp.where(in_range, total, jnp.nan)
 
 
+# lockstep profiles come from st2profile of (k_max+1)-slot parameters, so
+# they carry at most k_max+1 intervals. The dense gather-sums above touch
+# all T positions per profile — at (B=16, N=128, T=1000) each 2M-lane
+# random `take` costs ~21 ms on the chip (measured, DESIGN.md section 7p)
+# while only ~5 lanes per profile are interval starts. The sparse variants
+# extract the <= _SPARSE_KCAP start positions per profile with one top_k
+# and gather only there: same semantics, ~140x fewer gather lanes.
+# Profiles with MORE intervals yield NaN (the established invalid-profile
+# contract) — the public logL_batch keeps the dense path for arbitrary
+# profiles.
+_SPARSE_KCAP = 33        # supports k_max <= 32 (reference default: 20)
+
+
+def _sparse_intervals(profiles, Kcap):
+    """First ``Kcap`` interval (t0, t1, state) triples per profile row, plus
+    a slot-valid mask and an ``ok`` flag (False where a profile has more
+    than ``Kcap`` intervals)."""
+    P, T = profiles.shape
+    tgrid = jnp.arange(T, dtype=jnp.int32)
+    start = jnp.concatenate(
+        [jnp.ones((P, 1), bool), profiles[:, 1:] != profiles[:, :-1]], axis=1)
+    idx = jnp.where(start, tgrid[None, :], T)
+    t0 = -jax.lax.top_k(-idx, Kcap)[0]            # ascending starts, pad T
+    t1 = jnp.concatenate(
+        [t0[:, 1:], jnp.full((P, 1), T, dtype=t0.dtype)], axis=1)
+    t1 = jnp.minimum(t1, T)
+    slot_ok = t0 < T
+    ok = jnp.sum(start, axis=1) <= Kcap
+    s = jnp.take_along_axis(profiles, jnp.clip(t0, 0, T - 1), axis=1)
+    return t0, t1, s, slot_ok, ok
+
+
+@functools.partial(jax.jit, static_argnames=("n_states",))
+def _profile_table_sum_sparse(profiles, Vflat, n_states):
+    """`_profile_table_sum` evaluated only at interval starts (see
+    `_sparse_intervals`); NaN for profiles with > 32 intervals."""
+    P, T = profiles.shape
+    profiles = profiles.astype(jnp.int32)
+    Kcap = min(_SPARSE_KCAP, T)
+    t0, t1, s, slot_ok, ok = _sparse_intervals(profiles, Kcap)
+    safe_s = jnp.clip(s, 0, n_states - 1)
+    flat = (safe_s * T + jnp.clip(t0, 0, T - 1)) * (T + 1) + t1
+    val = jnp.take(Vflat, flat)
+    total = jnp.sum(jnp.where(slot_ok, val, 0.0), axis=1)
+    in_range = jnp.all((profiles >= 0) & (profiles < n_states), axis=1)
+    return jnp.where(in_range & ok, total, jnp.nan)
+
+
+@functools.partial(jax.jit, static_argnames=("n_states", "Lb"))
+def _profile_table_sum_banded_sparse(profiles, Bandflat, Headflat, Gflat,
+                                     n_states, Lb):
+    """`_profile_table_sum_banded` evaluated only at interval starts (see
+    `_sparse_intervals`); NaN for profiles with > 32 intervals."""
+    P, T = profiles.shape
+    profiles = profiles.astype(jnp.int32)
+    Kcap = min(_SPARSE_KCAP, T)
+    t0, t1, s, slot_ok, ok = _sparse_intervals(profiles, Kcap)
+    safe_s = jnp.clip(s, 0, n_states - 1)
+    t0c = jnp.clip(t0, 0, T - 1)
+    length = t1 - t0
+    u = jnp.maximum(t0c - 1, 0)
+    inb = length <= Lb
+    band_idx = (safe_s * T + t0c) * (Lb + 1) + jnp.clip(length, 0, Lb)
+    head_idx = safe_s * T + t0c
+    ghi_idx = safe_s * T + jnp.clip(t1 - 1, 0, T - 1)
+    glo_idx = safe_s * T + jnp.clip(u + Lb, 0, T - 1)
+    val = jnp.where(inb, jnp.take(Bandflat, band_idx),
+                    jnp.take(Headflat, head_idx)
+                    + jnp.take(Gflat, ghi_idx) - jnp.take(Gflat, glo_idx))
+    total = jnp.sum(jnp.where(slot_ok, val, 0.0), axis=1)
+    in_range = jnp.all((profiles >= 0) & (profiles < n_states), axis=1)
+    return jnp.where(in_range & ok, total, jnp.nan)
+
+
 def _length_buckets(max_len):
     out = []
     b = 8
@@ -898,15 +972,21 @@ class GenericGaussianModel(MultiStateModel):
         fn_key = (mode, Lb)
         if fn_key not in self._lockstep_logL_fns:
             n = self.nStates
+            # sparse interval-start evaluation: lockstep profiles come from
+            # (k+1)-slot AMIS parameters, so the dense all-T gather-sum
+            # wastes ~140x the gather lanes — measured 87 ms -> ~4 ms per
+            # fused step at config-7 shapes (DESIGN.md section 7p).
+            # Profiles with > 32 intervals yield NaN (invalid-profile
+            # contract; AMIS masks NaN to zero weight).
             if mode == "banded":
                 def logL_fn(profiles, per_traj, Lb=Lb):
                     Bandflat, Headflat, Gflat = per_traj
-                    return _profile_table_sum_banded(
+                    return _profile_table_sum_banded_sparse(
                         profiles, Bandflat, Headflat, Gflat, n, Lb)
             else:
                 def logL_fn(profiles, per_traj):
                     (Vflat,) = per_traj
-                    return _profile_table_sum(profiles, Vflat, n)
+                    return _profile_table_sum_sparse(profiles, Vflat, n)
             self._lockstep_logL_fns[fn_key] = logL_fn
 
         return arrs, self._lockstep_logL_fns[fn_key]

@@ -341,3 +341,48 @@ class TestBandedTables:
         sb = np.asarray(banded._segment_table(traj))
         assert se.shape == sb.shape == (2, T)
         np.testing.assert_allclose(sb, se, rtol=1e-8)
+
+
+def test_sparse_table_sums_match_dense(rng):
+    """The lockstep sparse interval-start evaluation equals the dense
+    all-T gather-sum on segment profiles, and honors the NaN contracts
+    (out-of-range state; more than _SPARSE_KCAP intervals)."""
+    import jax.numpy as jnp
+    from bild_tpu.models.ggm import (
+        _profile_table_sum, _profile_table_sum_sparse,
+        _profile_table_sum_banded, _profile_table_sum_banded_sparse,
+        _SPARSE_KCAP)
+
+    T, n, Lb = 57, 3, 11
+    Vflat = jnp.asarray(rng.normal(size=(n * T * (T + 1),)))
+    Band = jnp.asarray(rng.normal(size=(n * T * (Lb + 1),)))
+    Head = jnp.asarray(rng.normal(size=(n * T,)))
+    G = jnp.asarray(rng.normal(size=(n * T,)))
+    profs = np.zeros((40, T), dtype=int)
+    for b in range(40):
+        k = int(rng.integers(0, 7))
+        cuts = np.sort(rng.choice(np.arange(1, T), size=k, replace=False))
+        bd = np.concatenate([[0], cuts, [T]])
+        s = int(rng.integers(0, n))
+        for i in range(k + 1):
+            profs[b, bd[i]:bd[i + 1]] = s
+            s = (s + 1) % n
+    profs = jnp.asarray(profs)
+
+    np.testing.assert_allclose(
+        np.asarray(_profile_table_sum_sparse(profs, Vflat, n)),
+        np.asarray(_profile_table_sum(profs, Vflat, n)), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(_profile_table_sum_banded_sparse(profs, Band, Head, G,
+                                                    n, Lb)),
+        np.asarray(_profile_table_sum_banded(profs, Band, Head, G, n, Lb)),
+        rtol=1e-12)
+
+    bad = profs.at[0, 5].set(n)
+    assert np.isnan(np.asarray(_profile_table_sum_sparse(bad, Vflat, n))[0])
+    dense_random = jnp.asarray(rng.integers(0, n, size=(2, T)))
+    n_int = np.sum(np.diff(np.asarray(dense_random), axis=1) != 0,
+                   axis=1) + 1
+    assert np.all(n_int > _SPARSE_KCAP)          # genuinely over the cap
+    assert np.all(np.isnan(np.asarray(
+        _profile_table_sum_sparse(dense_random, Vflat, n))))
