@@ -69,19 +69,35 @@ _ROUSE_MATMUL = "auto"
 
 _MATMUL_MODES = ("auto", "exact", "split", "split_cov")
 
+# 'auto' additionally gates the split tier by trajectory LENGTH: the
+# split-bf16 error compounds over the Kalman recursion — measured
+# worst-case decision-relevant (per-trajectory-centered) logL error 0.085
+# nats at T=100, 0.52 at T=300, 4.5 at T=1000 (`PARITY_LADDER_r05.json`);
+# the long-T values reach the scale of adjacent-k evidence gaps. The
+# threshold keeps split only where that error stays an order of magnitude
+# below the 0.1-1-nat evidence SEs of benched budgets. Above it, 'auto'
+# resolves to 'exact' even in lockstep contexts. Explicit modes
+# ('split'/'split_cov') are never overridden.
+SPLIT_MAX_T = 128
+
 
 def rouse_matmul() -> str:
     return _ROUSE_MATMUL
 
 
-def resolve_matmul(context: str = "single") -> str:
+def resolve_matmul(context: str = "single", T: int | None = None) -> str:
     """Resolve the configured matmul mode for a dispatch context:
     ``'lockstep'`` (dataset/batch sweeps) or ``'single'`` (adaptive mode,
-    direct calls, validation). Only ``'auto'`` is context-dependent."""
+    direct calls, validation). Only ``'auto'`` is context-dependent; it
+    picks the split-bf16 tier on lockstep dispatches of trajectories up
+    to ``SPLIT_MAX_T`` frames and the exact tier otherwise (see
+    ``SPLIT_MAX_T``)."""
     if context not in ("lockstep", "single"):
         raise ValueError(f"unknown matmul context {context!r}")
     if _ROUSE_MATMUL == "auto":
-        return "split" if context == "lockstep" else "exact"
+        if context == "lockstep" and (T is None or T <= SPLIT_MAX_T):
+            return "split"
+        return "exact"
     return _ROUSE_MATMUL
 
 

@@ -279,7 +279,7 @@ class MultiStateRouse(MultiStateModel):
         # Dataset sweeps are the 'lockstep' matmul context: config 'auto'
         # (the default) resolves to the split-bf16 tier here — measured +32%
         # end-to-end at identical inference accuracy (DESIGN.md 7g).
-        mm = resolve_matmul("lockstep")
+        mm = resolve_matmul("lockstep", T=batch.T)
         kname = (rouse_kernel(), mm)
         if kname not in self._lockstep_fns_cache:
             unique, Cind = np.unique(self.localization_error, return_inverse=True)

@@ -109,6 +109,12 @@ def test_rouse_matmul_knob(rng):
     assert config.rouse_matmul() == "auto"
     assert config.resolve_matmul("lockstep") == "split"
     assert config.resolve_matmul("single") == "exact"
+    # length gate: split's compounding error (0.085 nats at T=100, 4.5 at
+    # T=1000, PARITY_LADDER_r05.json) caps 'auto' split at SPLIT_MAX_T
+    assert config.resolve_matmul("lockstep", T=config.SPLIT_MAX_T) == "split"
+    assert config.resolve_matmul("lockstep",
+                                 T=config.SPLIT_MAX_T + 1) == "exact"
+    assert config.resolve_matmul("single", T=50) == "exact"
     with pytest.raises(ValueError, match="rouse_matmul"):
         config.set_rouse_matmul("bf16")
     with pytest.raises(ValueError, match="context"):

@@ -68,6 +68,9 @@ def main():
         "config2_3_T100_2state": dict(
             model=MultiStateRouse(20, 1.0, 5.0, d=3, localization_error=0.1),
             T=100, n=2),
+        "T300_2state": dict(        # threshold probe for the split policy
+            model=MultiStateRouse(20, 1.0, 5.0, d=3, localization_error=0.1),
+            T=300, n=2),
         "config4_T1000_3state": dict(
             model=MultiStateRouse(20, 1.0, 5.0, d=3,
                                   looppositions=(None, (0, -1), (0, 10)),
@@ -118,9 +121,15 @@ def main():
             for tier, fn in tiers.items():
                 vals = np.asarray(fn(*kargs), dtype=float)
                 rel = np.max(np.abs((vals - oracle) / oracle))
+                err = vals - oracle
                 cell[fam][tier] = {
                     "max_rel": float(rel),
-                    "max_abs_nats": float(np.max(np.abs(vals - oracle))),
+                    "max_abs_nats": float(np.max(np.abs(err))),
+                    # decision-relevant error: evidence/posterior COMPARISONS
+                    # are invariant to a shift shared by every profile of
+                    # the same trajectory, so the spread around the mean
+                    # shift is what can flip a k decision
+                    "max_centered_nats": float(np.max(np.abs(err - err.mean()))),
                 }
             print(f"{tag}/{fam}: " + json.dumps(cell[fam]), flush=True)
         out[tag] = cell
