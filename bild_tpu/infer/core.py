@@ -38,7 +38,7 @@ def sample(traj, model,
            sampler_kw={},
            choice_kw={},
            show_progress=False,
-           decision_interval=3,
+           decision_interval=1,
            key: Optional[jax.Array] = None):
     """
     Run the full BILD scheme for one trajectory.
@@ -51,15 +51,17 @@ def sample(traj, model,
     ``key`` seeds all device-side sampling explicitly.
 
     ``decision_interval`` batches the active-learning loop: each decision
-    commits the chosen k to that many AMIS steps in ONE device dispatch
-    (the per-step host round trips otherwise dominate wall time on remote
-    TPUs — SURVEY.md section 7 "host-device ping-pong"). At 1 the decision
-    cadence is exactly the reference's (``bild/core.py:202-227``); the
-    default of 3 changes only how often the choice distribution is
-    re-evaluated, not any sampler's PRNG stream (a sampler's stream depends
-    on how many steps IT ran, never on the interleaving), and stops at the
-    same certainty rule within ``decision_interval`` steps of where the
-    stepwise loop would.
+    commits the chosen k to that many AMIS steps in ONE device dispatch.
+    At the default 1 the decision cadence is exactly the reference's
+    (``bild/core.py:202-227``); larger values change only how often the
+    choice distribution is re-evaluated, never any sampler's PRNG stream
+    (a stream depends on how many steps ITS sampler ran, not on the
+    interleaving). Measured round 5 (TPU v5e, T=100): walls are equal
+    across intervals 1-8 (~0.6-0.8 s, within tunnel noise) — after the
+    fused init dispatches and single packed fetch per step, the adaptive
+    loop is no longer host-round-trip-bound (SURVEY.md section 7
+    "host-device ping-pong", resolved), so the knob matters only on much
+    slower links.
 
     Returns
     -------

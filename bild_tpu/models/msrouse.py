@@ -85,7 +85,7 @@ def _select_kernel(dtype, matmul="exact"):
     if name == "dense":
         return msrouse_logL_pallas
     return msrouse_logL_batch
-from ..ops.assoc_kalman import msrouse_logL_assoc
+from ..experimental.assoc_kalman import msrouse_logL_assoc
 from .base import MultiStateModel
 
 __all__ = ["MultiStateRouse"]
