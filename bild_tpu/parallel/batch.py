@@ -618,9 +618,15 @@ def sample_batch(model, batch: TrajectoryBatch,
     # input data array's identity so repeated calls on the same batch hand
     # downstream `is`-keyed caches (GGM interval tables, informed init) the
     # SAME sliced arrays instead of defeating them with fresh slices.
+    # Injected width-bearing arrays (`lockstep` per-trajectory tables,
+    # `informed_arrays` proposals) were built by the caller at the input
+    # width, so the trim must not change T under them: the sharded driver
+    # composes chunks at a bucket-global T_pad precisely so a trajectory's
+    # proposal stream is invariant to which chunk it lands in.
     T_in = batch.T
     informed_cache_token = (batch.data, T_in)
-    if batch.lengths is not None and batch.B > 0:
+    if (batch.lengths is not None and batch.B > 0
+            and lockstep is None and informed_arrays is None):
         T_eff = max(int(np.max(np.asarray(batch.lengths))), 1)
         if T_eff < T_in:
             batch = _trim_tail(batch, T_eff)
